@@ -1,0 +1,228 @@
+"""Static open-addressing k-mer membership table for TPU probing.
+
+Replaces the reference's two ``std::unordered_set<Kmer>`` marker sets
+(/root/reference/01.classify_stlfr_reads/classify.cpp:27,196-201) with a
+single HBM-resident bucketized table: one table holds BOTH haplotypes'
+markers with a 2-bit membership payload, so the inner loop does one
+gather per k-mer instead of the reference's two hash probes.
+
+Layout
+------
+``data``: (n_buckets, 2*BUCKET) uint32.  Bucket row = BUCKET slots of
+(hi_word, lo_word) pairs, interleaved ``[hi0, lo0, hi1, lo1, ...]`` so a
+single row-gather fetches a whole bucket.  A slot's hi word packs the
+canonical k-mer's high 2k-32 bits (< 2**30 for k <= 31) plus the 2-bit
+payload at bits 30..31.  Empty slot = (0xFFFFFFFF, 0xFFFFFFFF), which no
+canonical k-mer can equal (poly-G is never canonical), so empty slots
+can never match a query and need no explicit emptiness test.
+
+Insertion is host-side numpy, fully vectorized in "displacement rounds":
+keys land in bucket ``hash & mask``; overflow spills to the next bucket,
+repeated until placed.  ``max_probe`` (the number of buckets any lookup
+must scan) is recorded and is small (load factor 0.5 keeps it ~2-4).
+
+Lookup is shape-static jnp with an unrolled ``max_probe`` loop — each
+round is one row-gather + 8-lane compare, so XLA keeps it on the VPU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BUCKET = 8
+PAYLOAD_SHIFT = np.uint32(30)
+HI_MASK = np.uint32((1 << 30) - 1)
+EMPTY = np.uint32(0xFFFFFFFF)
+
+_M1 = np.uint32(0x85EBCA6B)
+_M2 = np.uint32(0xC2B2AE35)
+_GOLD = np.uint32(0x9E3779B9)
+
+
+def _mix(h, xp):
+    """murmur3 fmix32; identical semantics under numpy and jnp uint32."""
+    h = h ^ (h >> xp.uint32(16))
+    h = (h * _M1).astype(xp.uint32) if xp is np else h * _M1
+    h = h ^ (h >> xp.uint32(13))
+    h = (h * _M2).astype(xp.uint32) if xp is np else h * _M2
+    h = h ^ (h >> xp.uint32(16))
+    return h
+
+
+def kmer_hash(hi, lo, xp=np):
+    """uint32 hash of a (hi, lo) k-mer pair. Same bits on host & device."""
+    hi = xp.asarray(hi, xp.uint32)
+    lo = xp.asarray(lo, xp.uint32)
+    if xp is np:
+        h = (lo + (hi * _GOLD).astype(np.uint32)).astype(np.uint32)
+    else:
+        h = lo + hi * _GOLD
+    return _mix(h, xp)
+
+
+@dataclasses.dataclass
+class KmerTable:
+    """Host handle for a built table (device arrays + static metadata)."""
+
+    data: np.ndarray          # (n_buckets, 2*BUCKET) uint32
+    n_buckets: int            # power of two
+    max_probe: int            # buckets any lookup must scan
+    k: int
+    n_keys: int               # distinct canonical keys stored
+    set_sizes: tuple[int, ...] = ()  # per-haplotype set size (for getHap)
+
+    def device_put(self, sharding=None):
+        self.data = jax.device_put(jnp.asarray(self.data), sharding)
+        return self
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, (x - 1).bit_length())
+
+
+def build_table(hi, lo, payload, k: int, load: float = 0.5,
+                set_sizes: tuple[int, ...] = ()) -> KmerTable:
+    """Build a probe table from canonical k-mer arrays.
+
+    Duplicate keys are merged by OR-ing payloads (a marker present in
+    both haplotype sets gets payload 3 — the reference keeps it in both
+    unordered_sets, which is the same observable behavior).
+    """
+    hi = np.asarray(hi, np.uint32)
+    lo = np.asarray(lo, np.uint32)
+    payload = np.asarray(payload, np.uint32)
+    if hi.size:
+        # dedupe, OR payloads of duplicates
+        order = np.lexsort((lo, hi))
+        hi, lo, payload = hi[order], lo[order], payload[order]
+        new = np.empty(hi.size, bool)
+        new[0] = True
+        new[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+        group = np.cumsum(new) - 1
+        pay = np.zeros(int(group[-1]) + 1, np.uint32)
+        np.bitwise_or.at(pay, group, payload)
+        hi, lo, payload = hi[new], lo[new], pay
+    n = hi.size
+    n_buckets = _next_pow2(max(1, int(np.ceil(n / (BUCKET * load)))))
+    mask = np.uint32(n_buckets - 1)
+
+    data = np.full((n_buckets, 2 * BUCKET), EMPTY, np.uint32)
+    occupancy = np.zeros(n_buckets, np.int64)
+    home = kmer_hash(hi, lo) & mask
+    hi_packed = hi | (payload << PAYLOAD_SHIFT)
+
+    pending = np.arange(n)
+    r = 0
+    while pending.size:
+        b = (home[pending] + np.uint32(r)) & mask
+        order = np.argsort(b, kind="stable")
+        pend_s, b_s = pending[order], np.asarray(b[order], np.int64)
+        # rank within each bucket group
+        first = np.empty(b_s.size, bool)
+        first[0] = True
+        first[1:] = b_s[1:] != b_s[:-1]
+        grp_start = np.maximum.accumulate(
+            np.where(first, np.arange(b_s.size), 0))
+        rank = np.arange(b_s.size) - grp_start
+        free = BUCKET - occupancy[b_s]
+        place = rank < free
+        slot = occupancy[b_s] + rank
+        tgt_b, tgt_s, keys = b_s[place], slot[place], pend_s[place]
+        data[tgt_b, 2 * tgt_s] = hi_packed[keys]
+        data[tgt_b, 2 * tgt_s + 1] = lo[keys]
+        np.add.at(occupancy, b_s[place], 1)
+        pending = pend_s[~place]
+        r += 1
+        if r > n_buckets:
+            raise RuntimeError("table build failed to converge")
+    return KmerTable(data=data, n_buckets=n_buckets, max_probe=max(r, 1),
+                     k=k, n_keys=n, set_sizes=tuple(set_sizes))
+
+
+@functools.partial(jax.jit, static_argnames=("max_probe",))
+def probe(data: jax.Array, q_hi: jax.Array, q_lo: jax.Array,
+          max_probe: int) -> jax.Array:
+    """Membership payload for each query k-mer (0 = not present).
+
+    data: (n_buckets, 2*BUCKET) uint32;  q_hi/q_lo: any equal shape.
+    Returns int32 payloads, same shape as q_hi.
+    """
+    n_buckets = data.shape[0]
+    mask = jnp.uint32(n_buckets - 1)
+    shape = q_hi.shape
+    q_hi = q_hi.reshape(-1).astype(jnp.uint32)
+    q_lo = q_lo.reshape(-1).astype(jnp.uint32)
+    h = kmer_hash(q_hi, q_lo, jnp) & mask
+    res = jnp.zeros(q_hi.shape, jnp.uint32)
+    for rnd in range(max_probe):
+        b = (h + jnp.uint32(rnd)) & mask
+        rows = jnp.take(data, b.astype(jnp.int32), axis=0)  # (N, 2*BUCKET)
+        slot_hi = rows[:, 0::2]
+        slot_lo = rows[:, 1::2]
+        hit = ((slot_hi & HI_MASK) == q_hi[:, None]) & (slot_lo == q_lo[:, None])
+        pay = slot_hi >> PAYLOAD_SHIFT
+        res = res | jnp.max(jnp.where(hit, pay, 0), axis=1)
+    return res.astype(jnp.int32).reshape(shape)
+
+
+def probe_np(table: KmerTable, q_hi, q_lo):
+    """Host-side twin of :func:`probe` (for tests and small inputs)."""
+    q_hi = np.asarray(q_hi, np.uint32).reshape(-1)
+    q_lo = np.asarray(q_lo, np.uint32).reshape(-1)
+    mask = np.uint32(table.n_buckets - 1)
+    h = kmer_hash(q_hi, q_lo) & mask
+    res = np.zeros(q_hi.shape, np.uint32)
+    for rnd in range(table.max_probe):
+        b = ((h + np.uint32(rnd)) & mask).astype(np.int64)
+        rows = table.data[b]
+        slot_hi, slot_lo = rows[:, 0::2], rows[:, 1::2]
+        hit = ((slot_hi & HI_MASK) == q_hi[:, None]) & (slot_lo == q_lo[:, None])
+        pay = slot_hi >> PAYLOAD_SHIFT
+        res |= np.max(np.where(hit, pay, 0), axis=1).astype(np.uint32)
+    return res.astype(np.int32)
+
+
+def remove_keys(table: KmerTable, hi, lo, payload_mask: int,
+                set_sizes_delta: list[int] | None = None) -> list[tuple[int, int, int]]:
+    """Clear payload bits of given keys in-place (adaptor erasure).
+
+    Mirrors InitAdaptor (classify.cpp:314-339): adaptor k-mers are
+    erased from the marker sets *and* the normalization set sizes
+    shrink.  Returns [(hi, lo, cleared_bits)] for logging parity.
+    A slot whose payload becomes 0 stays physically present (it can
+    never be reported since its payload is 0).
+    """
+    hi = np.asarray(hi, np.uint32).reshape(-1)
+    lo = np.asarray(lo, np.uint32).reshape(-1)
+    mask = np.uint32(table.n_buckets - 1)
+    h = kmer_hash(hi, lo) & mask
+    cleared = []
+    sizes = list(table.set_sizes)
+    seen = set()
+    for i in range(hi.size):
+        key = (int(hi[i]), int(lo[i]))
+        if key in seen:
+            continue
+        seen.add(key)
+        for rnd in range(table.max_probe):
+            b = int((h[i] + np.uint32(rnd)) & mask)
+            row = table.data[b]
+            for s in range(BUCKET):
+                if (int(row[2 * s]) & int(HI_MASK)) == key[0] and int(row[2 * s + 1]) == key[1]:
+                    pay = int(row[2 * s]) >> int(PAYLOAD_SHIFT)
+                    bits = pay & payload_mask
+                    if bits:
+                        new_pay = pay & ~payload_mask
+                        table.data[b, 2 * s] = np.uint32(
+                            key[0] | (new_pay << int(PAYLOAD_SHIFT)))
+                        cleared.append((key[0], key[1], bits))
+                        for hap in range(len(sizes)):
+                            if bits & (1 << hap):
+                                sizes[hap] -= 1
+    table.set_sizes = tuple(sizes)
+    return cleared

@@ -1,0 +1,242 @@
+"""Stage 01 — filial stLFR read classification (the hot path).
+
+TPU-native replacement for the reference's ``classify`` binary
+(/root/reference/01.classify_stlfr_reads/classify.cpp): reads stream
+from the host as 2-bit-packable ASCII batches, canonical k-mers are
+extracted vectorized on device, probed against a single combined
+marker table (payload bit0 = hap0/paternal, bit1 = hap1/maternal), and
+per-read votes reduce into a per-barcode tally on the host.
+
+Observable-behavior parity targets:
+  * votes: per read, vote[h] = number of k-mer positions whose canonical
+    k-mer is in marker set h (a position can hit both)
+    (classify.cpp:186-209); N-containing reads short-circuit to the
+    "-1" bucket before voting (classify.cpp:190-192).
+  * decision getHap (classify.cpp:66-86): null barcodes 0/0_0/0_0_0 are
+    -1; both sides present -> compare count/set_size*weight in double,
+    strict >, tie -1; one-sided -> that hap; none -> -1.
+  * adaptor k-mers are erased from the sets BEFORE classification and
+    the normalization set sizes shrink accordingly
+    (classify.cpp:314-339 InitAdaptor).
+  * output: one line per barcode, lexicographically sorted
+    (std::map iteration), "barcode\\thap\\tcount0\\tcount1"
+    (classify.cpp:93-102).
+
+Divergence (documented): the reference *asserts* (crashes) on reads
+shorter than k (kmer.h:171); we count them as both-zero votes -> the
+-1 bucket.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import sys
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hast_tpu.ops import encode as E
+from hast_tpu.ops import hashtable as H
+from hast_tpu.io import fastq as FQ
+
+ADAPTOR_F = "CTGTCTCTTATACACATCTTAGGAAGACAAGCACTGACGACATGA"
+ADAPTOR_R = "TCTGCTGAGTCGAGAACGTCTCTGTGAGCCAAGGAGTTGCTCTGG"
+NULL_BARCODES = (b"0_0_0", b"0_0", b"0")
+
+
+def load_marker_table(hap0_path: str, hap1_path: str,
+                      load: float = 0.5) -> H.KmerTable:
+    """Load two one-kmer-per-line marker files into one combined table.
+
+    k is inferred from the first line of hap0 (classify.cpp:35-37);
+    set sizes are the DISTINCT canonical k-mer counts per haplotype
+    (the reference's unordered_set sizes).
+    """
+    h0_hi, h0_lo, k = E.load_mer_file(hap0_path)
+    h1_hi, h1_lo, k1 = E.load_mer_file(hap1_path, k_expect=k)
+    del k1
+    n0 = np.unique(np.stack([h0_hi, h0_lo], 1), axis=0).shape[0]
+    n1 = np.unique(np.stack([h1_hi, h1_lo], 1), axis=0).shape[0]
+    hi = np.concatenate([h0_hi, h1_hi])
+    lo = np.concatenate([h0_lo, h1_lo])
+    pay = np.concatenate([np.ones(h0_hi.size, np.uint32),
+                          np.full(h1_hi.size, 2, np.uint32)])
+    table = H.build_table(hi, lo, pay, k, load=load, set_sizes=(n0, n1))
+    print(f"Recorded {h0_hi.size} haplotype 0 specific {k}-mers",
+          file=sys.stderr)
+    print(f"Recorded {h1_hi.size} haplotype 1 specific {k}-mers",
+          file=sys.stderr)
+    return table
+
+
+def erase_adaptors(table: H.KmerTable,
+                   adaptor_f: str = ADAPTOR_F,
+                   adaptor_r: str = ADAPTOR_R) -> None:
+    """Erase adaptor k-mers from both marker sets (InitAdaptor parity)."""
+    print(f"Adaptor forward :{adaptor_f}", file=sys.stderr)
+    print(f"Adaptor reverse :{adaptor_r}", file=sys.stderr)
+    k = table.k
+    for adaptor in (adaptor_f, adaptor_r):
+        if len(adaptor) < k:
+            continue
+        codes = E.encode_np(np.frombuffer(adaptor.encode(), np.uint8))
+        hi, lo = E.canonical_kmers_np(codes[None, :], k)
+        cleared = H.remove_keys(table, hi[0], lo[0], payload_mask=3)
+        for chi, clo, bits in cleared:
+            for hap in (0, 1):
+                if bits & (1 << hap):
+                    print(" INFO : erase a adaptor kmer from hap "
+                          f"{hap} ; kmer= {E.kmer_to_str(chi, clo, k)}",
+                          file=sys.stderr)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_probe"))
+def vote_kernel(data: jax.Array, seqs_u8: jax.Array, lengths: jax.Array,
+                k: int, max_probe: int):
+    """Per-read haplotype votes for a padded ASCII batch.
+
+    Returns (v0, v1) int32 (B,): number of k-mer positions of each read
+    whose canonical k-mer carries marker payload bit 0 / bit 1.
+    """
+    codes = E.encode_bases(seqs_u8)
+    hi, lo = E.canonical_kmers(codes, k)
+    good = jnp.ones(seqs_u8.shape, bool)
+    valid = E.window_valid(good, lengths, k)
+    pay = H.probe(data, hi, lo, max_probe)
+    pay = jnp.where(valid, pay, 0)
+    v0 = jnp.sum(pay & 1, axis=-1, dtype=jnp.int32)
+    v1 = jnp.sum((pay >> 1) & 1, axis=-1, dtype=jnp.int32)
+    return v0, v1
+
+
+@dataclasses.dataclass
+class BarcodeTally:
+    """barcode -> (count_hap0, count_hap1, count_unknown) accumulator.
+
+    The merge of the reference's per-thread BarcodeCaches
+    (classify.cpp:50-64) collapses to plain integer adds — the
+    reduction is commutative, so device batch order doesn't matter.
+    """
+
+    index: dict[bytes, int] = dataclasses.field(default_factory=dict)
+    counts: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((1024, 3), np.int64))
+
+    def _ids(self, barcodes: list[bytes]) -> np.ndarray:
+        idx = self.index
+        ids = np.empty(len(barcodes), np.int64)
+        for i, bc in enumerate(barcodes):
+            v = idx.get(bc)
+            if v is None:
+                v = len(idx)
+                idx[bc] = v
+            ids[i] = v
+        if len(idx) > self.counts.shape[0]:
+            grow = max(len(idx), 2 * self.counts.shape[0])
+            self.counts = np.vstack(
+                [self.counts, np.zeros((grow - self.counts.shape[0], 3),
+                                       np.int64)])
+        return ids
+
+    def add_batch(self, barcodes: list[bytes], v0: np.ndarray,
+                  v1: np.ndarray, has_n: np.ndarray) -> None:
+        ids = self._ids(barcodes)
+        v0 = np.where(has_n, 0, v0.astype(np.int64))
+        v1 = np.where(has_n, 0, v1.astype(np.int64))
+        unknown = (has_n | ((v0 == 0) & (v1 == 0))).astype(np.int64)
+        np.add.at(self.counts[:, 0], ids, v0)
+        np.add.at(self.counts[:, 1], ids, v1)
+        np.add.at(self.counts[:, 2], ids, unknown)
+
+    def add_tally(self, other: "BarcodeTally") -> None:
+        """Cross-shard reduce (the *correct* mergeResult semantics)."""
+        for bc, oid in other.index.items():
+            ids = self._ids([bc])
+            self.counts[ids[0]] += other.counts[oid]
+
+    def items(self):
+        for bc, i in self.index.items():
+            c = self.counts[i]
+            yield bc, int(c[0]), int(c[1]), int(c[2])
+
+
+def get_hap(barcode: bytes, c0: int, c1: int, size0: int, size1: int,
+            w0: float = 1.0, w1: float = 1.0) -> int:
+    """The getHap decision (classify.cpp:66-86), exact double math."""
+    if barcode in NULL_BARCODES:
+        return -1
+    if c0 > 0 and c1 > 0:
+        df0 = (float(c0) / float(size0)) * w0
+        df1 = (float(c1) / float(size1)) * w1
+        if df0 > df1:
+            return 0
+        if df1 > df0:
+            return 1
+        return -1
+    if c0 > 0:
+        return 0
+    if c1 > 0:
+        return 1
+    return -1
+
+
+def classify_fastqs(table: H.KmerTable, paths: Iterable[str],
+                    batch_size: int = FQ.DEFAULT_BATCH,
+                    tally: BarcodeTally | None = None) -> BarcodeTally:
+    """Stream fastq files through the device vote kernel into a tally.
+
+    Keeps two batches in flight so host packing/IO overlaps device
+    compute (JAX async dispatch does the rest).
+    """
+    tally = tally or BarcodeTally()
+    data = table.data if isinstance(table.data, jax.Array) \
+        else jnp.asarray(table.data)
+    k, mp = table.k, table.max_probe
+    pending = None  # (device v0, v1, barcodes, has_n)
+    for path in paths:
+        print(f"__process read: {path}", file=sys.stderr)
+        for batch in FQ.fastq_batches(path, batch_size):
+            v0, v1 = vote_kernel(data, jnp.asarray(batch.seqs),
+                                 jnp.asarray(batch.lengths), k, mp)
+            if pending is not None:
+                pv0, pv1, pbc, phn = pending
+                tally.add_batch(pbc, np.asarray(pv0)[:len(pbc)],
+                                np.asarray(pv1)[:len(pbc)], phn[:len(pbc)])
+            pending = (v0, v1, batch.barcodes, batch.has_n)
+        print("__process read done__", file=sys.stderr)
+    if pending is not None:
+        pv0, pv1, pbc, phn = pending
+        tally.add_batch(pbc, np.asarray(pv0)[:len(pbc)],
+                        np.asarray(pv1)[:len(pbc)], phn[:len(pbc)])
+    return tally
+
+
+def write_phased_barcodes(tally: BarcodeTally, table: H.KmerTable,
+                          out, w0: float = 1.0, w1: float = 1.0) -> None:
+    """Emit phased.barcodes lines, lexicographically sorted by barcode."""
+    size0, size1 = table.set_sizes
+    rows = sorted(tally.items(), key=lambda r: r[0])
+    for bc, c0, c1, _ in rows:
+        hap = get_hap(bc, c0, c1, size0, size1, w0, w1)
+        out.write(b"%s\t%d\t%d\t%d\n" % (bc, hap, c0, c1))
+
+
+def run_classify(hap0: str, hap1: str, reads: list[str], out,
+                 w0: float = 1.0, w1: float = 1.0,
+                 adaptor_f: str = ADAPTOR_F, adaptor_r: str = ADAPTOR_R,
+                 batch_size: int = FQ.DEFAULT_BATCH) -> BarcodeTally:
+    """Full stage-01 classify: the reference binary's main()."""
+    print("__START__", file=sys.stderr)
+    print(f" use hap0 weight {w0:g}", file=sys.stderr)
+    print(f" use hap1 weight {w1:g}", file=sys.stderr)
+    table = load_marker_table(hap0, hap1)
+    erase_adaptors(table, adaptor_f, adaptor_r)
+    table.device_put()
+    tally = classify_fastqs(table, reads, batch_size)
+    print("__print result__", file=sys.stderr)
+    write_phased_barcodes(tally, table, out, w0, w1)
+    print("__END__", file=sys.stderr)
+    return tally

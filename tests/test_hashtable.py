@@ -1,0 +1,77 @@
+"""Tests for the bucketized k-mer membership table."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from hast_tpu.ops import encode as E
+from hast_tpu.ops import hashtable as H
+
+
+def _random_keys(n, k, seed):
+    rng = np.random.default_rng(seed)
+    seqs = rng.integers(0, 4, size=(n, k), dtype=np.int32)
+    hi, lo = E.canonical_kmers_np(seqs, k)
+    return hi[:, 0], lo[:, 0]
+
+
+def test_build_and_probe_exact():
+    k = 21
+    hi, lo = _random_keys(5000, k, 0)
+    pay = np.where(np.arange(hi.size) % 3 == 0, 1, 2).astype(np.uint32)
+    t = H.build_table(hi, lo, pay, k)
+    # all inserted keys found with right payload (dupes OR-merged)
+    want = {}
+    for h_, l_, p_ in zip(hi.tolist(), lo.tolist(), pay.tolist()):
+        want[(h_, l_)] = want.get((h_, l_), 0) | p_
+    got = H.probe_np(t, hi, lo)
+    for i, (h_, l_) in enumerate(zip(hi.tolist(), lo.tolist())):
+        assert got[i] == want[(h_, l_)]
+    # misses return 0
+    mhi, mlo = _random_keys(5000, k, 1)
+    member = set(zip(hi.tolist(), lo.tolist()))
+    got_m = H.probe_np(t, mhi, mlo)
+    for i, key in enumerate(zip(mhi.tolist(), mlo.tolist())):
+        assert got_m[i] == (want.get(key, 0) if key in member else 0)
+
+
+def test_device_probe_matches_host():
+    k = 21
+    hi, lo = _random_keys(3000, k, 2)
+    pay = np.full(hi.size, 3, np.uint32)
+    t = H.build_table(hi, lo, pay, k)
+    qhi = np.concatenate([hi[:500], _random_keys(500, k, 3)[0]])
+    qlo = np.concatenate([lo[:500], _random_keys(500, k, 3)[1]])
+    host = H.probe_np(t, qhi, qlo)
+    dev = np.asarray(H.probe(jnp.asarray(t.data), jnp.asarray(qhi),
+                             jnp.asarray(qlo), t.max_probe))
+    np.testing.assert_array_equal(host, dev)
+
+
+def test_high_load_and_dupes():
+    k = 31
+    hi, lo = _random_keys(20000, k, 4)
+    hi = np.concatenate([hi, hi[:1000]])
+    lo = np.concatenate([lo, lo[:1000]])
+    pay = np.concatenate([np.ones(20000, np.uint32),
+                          np.full(1000, 2, np.uint32)])
+    t = H.build_table(hi, lo, pay, k, load=0.9)
+    got = H.probe_np(t, hi[:1000], lo[:1000])
+    assert (got == 3).all()
+    got2 = H.probe_np(t, hi[1000:20000], lo[1000:20000])
+    assert (got2 == 1).all()
+    assert t.max_probe >= 1
+
+
+def test_remove_keys_adaptor_erasure():
+    k = 5
+    hi = np.array([E.str_to_kmer("AGCTC")[0], E.str_to_kmer("AAAAA")[0]],
+                  np.uint32)
+    lo = np.array([E.str_to_kmer("AGCTC")[1], E.str_to_kmer("AAAAA")[1]],
+                  np.uint32)
+    t = H.build_table(hi, lo, np.array([3, 1], np.uint32), k,
+                      set_sizes=(2, 1))
+    cleared = H.remove_keys(t, hi[:1], lo[:1], payload_mask=1)
+    assert len(cleared) == 1 and cleared[0][2] == 1
+    assert t.set_sizes == (1, 1)
+    got = H.probe_np(t, hi, lo)
+    assert got.tolist() == [2, 1]

@@ -1,0 +1,68 @@
+"""Bit-parity of stage 01 against the reference binaries' golden output.
+
+Golden fixtures in tests/golden/stage01 were produced by the REFERENCE
+classify binary (weight0=1.04, as the reference driver uses) and the
+reference quartering awk (see scripts/make_golden_stage01.py).
+"""
+
+import io
+import pathlib
+
+import pytest
+
+from hast_tpu.pipeline import classify as C
+from hast_tpu.pipeline import partition as P
+
+GOLD = pathlib.Path(__file__).parent / "golden" / "stage01"
+
+
+@pytest.fixture(scope="module")
+def phased_output(tmp_path_factory):
+    out = io.BytesIO()
+    C.run_classify(
+        str(GOLD / "hap0.mer"), str(GOLD / "hap1.mer"),
+        [str(GOLD / "reads1.fq.gz"), str(GOLD / "reads2.fq")],
+        out, w0=1.04, batch_size=4096)
+    return out.getvalue()
+
+
+def test_phased_barcodes_bit_identical(phased_output):
+    golden = (GOLD / "phased.barcodes.golden").read_bytes()
+    assert phased_output == golden
+
+
+def test_barcode_splits(phased_output, tmp_path):
+    phased = tmp_path / "phased.barcodes"
+    phased.write_bytes(phased_output)
+    P.split_barcodes(str(phased), out_prefix=str(tmp_path) + "/")
+    for name in ("paternal", "maternal", "homozygous"):
+        ours = (tmp_path / f"{name}.unique.barcodes").read_bytes()
+        golden = (GOLD / f"{name}.unique.barcodes.golden").read_bytes()
+        assert ours == golden, name
+
+
+def test_quartering_bit_identical(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    err = io.StringIO()
+    P.quarter_fastq(
+        str(GOLD / "reads2.fq"),
+        str(GOLD / "paternal.unique.barcodes.golden"),
+        str(GOLD / "maternal.unique.barcodes.golden"),
+        str(GOLD / "homozygous.unique.barcodes.golden"),
+        err=err)
+    for name in ("paternal", "maternal", "homozygous", "nobarcode"):
+        f = tmp_path / f"reads2.fq.{name}.fastq"
+        golden_f = GOLD / "quarter" / f"reads2.fq.{name}.fastq"
+        if golden_f.exists():
+            assert f.read_bytes() == golden_f.read_bytes(), name
+        else:
+            assert not f.exists(), name
+    # stats block of filter_reads.log (skip the FILENAME first line —
+    # the golden was produced with an absolute path)
+    ours = (tmp_path / "filter_reads.log").read_bytes().split(b"\n")[1:]
+    golden = (GOLD / "quarter" / "filter_reads.log").read_bytes().split(
+        b"\n")[1:]
+    assert ours == golden
+    # unknown-barcode stderr lines match the reference awk's
+    golden_err = (GOLD / "quarter" / "quarter.stderr").read_text()
+    assert err.getvalue() == golden_err
