@@ -120,6 +120,52 @@ def pack_reads(heads: list[bytes], seqs: list[bytes],
                      barcodes=[parse_barcode(h) for h in heads], n=n)
 
 
+def detect_format(path: str) -> str:
+    """'fasta' or 'fastq' by first byte (jellyfish-style autodetect)."""
+    with open_text(path) as f:
+        first = f.read(1)
+    if first == b">":
+        return "fasta"
+    if first == b"@":
+        return "fastq"
+    raise ValueError(f"{path}: cannot detect fasta/fastq (starts {first!r})")
+
+
+def sequence_batches(path: str, k: int, batch_size: int = DEFAULT_BATCH,
+                     seg_len: int = 1024) -> Iterator[ReadBatch]:
+    """Stream sequences of a fasta/fastq file for k-mer counting.
+
+    Long fasta sequences (genomes) are chopped into <= seg_len segments
+    overlapping by k-1 bases so no k-mer window is lost or duplicated.
+    Barcodes are not parsed (counting doesn't need them).
+    """
+    fmt = detect_format(path)
+
+    def gen():
+        if fmt == "fastq":
+            for _, seq, _, _ in fastq_records(path):
+                yield seq
+        else:
+            for _, seq in fasta_records(path):
+                if len(seq) <= seg_len:
+                    yield seq
+                else:
+                    step = seg_len - (k - 1)
+                    for p in range(0, len(seq) - (k - 1), step):
+                        yield seq[p:p + seg_len]
+
+    heads: list[bytes] = []
+    seqs: list[bytes] = []
+    for seq in gen():
+        heads.append(b"")
+        seqs.append(seq)
+        if len(seqs) >= batch_size:
+            yield pack_reads(heads, seqs, batch_size)
+            heads, seqs = [], []
+    if seqs:
+        yield pack_reads(heads, seqs, batch_size)
+
+
 def fastq_batches(path: str, batch_size: int = DEFAULT_BATCH
                   ) -> Iterator[ReadBatch]:
     """Stream a fastq file as fixed-size ReadBatches (last may be short)."""

@@ -1,0 +1,142 @@
+"""Stage 00 — parental unique-marker construction.
+
+TPU-native replacement for the reference jellyfish pipeline
+(/root/reference/00.build_unshare_kmers_by_jellyfish/build_unshared_kmers.sh):
+
+  reference (disk-roundtripped jellyfish invocations)   ->  here
+  ------------------------------------------------------------------
+  count -C per parent              (:188-221)           count_file(s)
+  histo + find_bounds.awk          (analysis_kmercount) histo_rows + find_bounds
+  dump -L lo -U up                 (:257-268)           CountTable.filter_range
+  2*mat.fa + 1*pat.fa count trick  (:271-283)           CountTable.difference
+  unique∩filter re-count           (:285-298)           filter_range(unique)
+  *.unique.filter.mer text dump    (:290-291)           dump_mer_text
+
+The count trick and the set ops are algebraically identical: a k-mer of
+parent A is "unique" iff absent from parent B's count table, and the
+final marker set is unique(A) ∩ count-range(A).  The meryl variant
+(00.dev_build_unshare_kmers_by_meryl) states the same algebra as
+explicit set ops — this module is its TPU formulation.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Sequence
+
+import numpy as np
+
+from hast_tpu.io import fastq as FQ
+from hast_tpu.ops import kmer_count as KC
+
+DEFAULT_K = 21
+DEFAULT_LOWER = 9
+DEFAULT_UPPER = 33
+
+
+def count_files(paths: Sequence[str], k: int,
+                batch_size: int = FQ.DEFAULT_BATCH) -> KC.CountTable:
+    """Count canonical k-mers over fasta/fastq files (jellyfish count -C)."""
+    counter = KC.Counter(k)
+    for path in paths:
+        t = KC.count_batches(FQ.sequence_batches(path, k, batch_size), k)
+        counter._runs.append((t.words, t.counts))
+    return counter.finalize()
+
+
+def histo_rows(table: KC.CountTable, high: int = 10000):
+    """(count_value, n_kmers) rows exactly as `jellyfish histo` prints:
+    non-zero bins only, counts > high lumped into the high+1 row."""
+    h = table.histo(high=high)
+    return [(int(v), int(h[v])) for v in range(1, high + 2) if h[v] > 0]
+
+
+def find_bounds(rows) -> dict[str, int]:
+    """Replicates find_bounds.awk byte-for-byte on jellyfish histo rows.
+
+    (/root/reference/00.build_unshare_kmers_by_jellyfish/find_bounds.awk:
+    state 0 walks down to the first local minimum — a row whose freq
+    does not set a new minimum flips to state 1 *without* being
+    considered for the max; state 1 then tracks the running maximum.
+    LOWER = MIN_INDEX+1, UPPER = 3*MAX_INDEX - 2*MIN_INDEX - 1.)
+    """
+    MIN = MIN_INDEX = MAX = MAX_INDEX = 0
+    state = 0
+    for i, c in rows:
+        if state == 0:
+            if MIN == 0 or c < MIN:
+                MIN, MIN_INDEX = c, i
+            else:
+                state = 1
+        else:
+            if MAX == 0 or c > MAX:
+                MAX, MAX_INDEX = c, i
+    up_bounds = 3 * MAX_INDEX - 2 * MIN_INDEX
+    return {
+        "MIN_INDEX": MIN_INDEX,
+        "MAX_INDEX": MAX_INDEX,
+        "LOWER_INDEX": MIN_INDEX + 1,
+        "UPPER_INDEX": up_bounds - 1,
+    }
+
+
+def write_bounds(bounds: dict[str, int], path: str) -> None:
+    """maternal.bounds.txt / paternal.bounds.txt format."""
+    with open(path, "w") as f:
+        for key in ("MIN_INDEX", "MAX_INDEX", "LOWER_INDEX", "UPPER_INDEX"):
+            f.write(f"{key}={bounds[key]}\n")
+
+
+def write_histo(rows, path: str) -> None:
+    with open(path, "w") as f:
+        for v, c in rows:
+            f.write(f"{v} {c}\n")
+
+
+def build_unshared_markers(
+    paternal: Sequence[str], maternal: Sequence[str], out_dir: str = ".",
+    k: int = DEFAULT_K, auto_bounds: bool = False,
+    p_lower: int = DEFAULT_LOWER, p_upper: int = DEFAULT_UPPER,
+    m_lower: int = DEFAULT_LOWER, m_upper: int = DEFAULT_UPPER,
+    batch_size: int = FQ.DEFAULT_BATCH, log=sys.stderr,
+) -> dict[str, str]:
+    """Full stage 00: parent counting -> bounds -> unique.filter.mer files.
+
+    Returns paths of the two marker files (the stage 00/01 interface).
+    """
+    j = lambda name: os.path.join(out_dir, name)
+    print("extract unique mers (TPU count tables) ...", file=log)
+    mat = count_files(maternal, k, batch_size)
+    pat = count_files(paternal, k, batch_size)
+    print(f"  maternal: {mat.n_distinct} distinct / {mat.total} total "
+          f"{k}-mers", file=log)
+    print(f"  paternal: {pat.n_distinct} distinct / {pat.total} total "
+          f"{k}-mers", file=log)
+
+    m_rows, p_rows = histo_rows(mat), histo_rows(pat)
+    write_histo(m_rows, j("maternal.kmercount.histo"))
+    write_histo(p_rows, j("paternal.kmercount.histo"))
+    if auto_bounds:
+        mb, pb = find_bounds(m_rows), find_bounds(p_rows)
+        write_bounds(mb, j("maternal.bounds.txt"))
+        write_bounds(pb, j("paternal.bounds.txt"))
+        m_lower, m_upper = mb["LOWER_INDEX"], mb["UPPER_INDEX"]
+        p_lower, p_upper = pb["LOWER_INDEX"], pb["UPPER_INDEX"]
+    print(f"  the real used kmer-count bounds of maternal is "
+          f"[ {m_lower} , {m_upper} ] ", file=log)
+    print(f"  the real used kmer-count bounds of paternal is "
+          f"[ {p_lower} , {p_upper} ] ", file=log)
+
+    pat_final = pat.difference(mat).filter_range(p_lower, p_upper)
+    mat_final = mat.difference(pat).filter_range(m_lower, m_upper)
+
+    paths = {
+        "paternal": j("paternal.unique.filter.mer"),
+        "maternal": j("maternal.unique.filter.mer"),
+    }
+    n_p = pat_final.dump_mer_text(paths["paternal"])
+    n_m = mat_final.dump_mer_text(paths["maternal"])
+    print(f"final paternal unique kmer is : {n_p}", file=log)
+    print(f"final maternal unique kmer is : {n_m}", file=log)
+    return paths

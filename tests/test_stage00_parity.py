@@ -1,0 +1,76 @@
+"""Parity of stage 00 against the reference jellyfish pipeline's output.
+
+Goldens in tests/golden/stage00 come from actually running the
+reference build_unshared_kmers.sh (see scripts/make_golden_stage00.py).
+"""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from hast_tpu.ops import encode as E
+from hast_tpu.pipeline import markers as M
+
+GOLD = pathlib.Path(__file__).parent / "golden" / "stage00"
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory):
+    out = tmp_path_factory.mktemp("stage00")
+    paths = M.build_unshared_markers(
+        paternal=[str(GOLD / "paternal.reads.fa.gz")],
+        maternal=[str(GOLD / "maternal.reads.fa.gz")],
+        out_dir=str(out), auto_bounds=True, batch_size=16384)
+    return out, paths
+
+
+def test_histo_rows_match_jellyfish(built):
+    out, _ = built
+    for parent in ("maternal", "paternal"):
+        ours = (out / f"{parent}.kmercount.histo").read_text().splitlines()
+        golden = (GOLD / f"{parent}.histo").read_text().splitlines()
+        assert ours == golden, parent
+
+
+def test_auto_bounds_match_awk(built):
+    out, _ = built
+    for parent in ("maternal", "paternal"):
+        ours = (out / f"{parent}.bounds.txt").read_text()
+        golden = (GOLD / f"{parent}.bounds.txt").read_text()
+        assert ours == golden, parent
+
+
+def test_marker_files_same_strings(built):
+    """Same k-mer strings as jellyfish dump (we emit jellyfish-style
+    canonical representatives), order-insensitive."""
+    _, paths = built
+    for parent in ("maternal", "paternal"):
+        ours = sorted(open(paths[parent], "rb").read().split())
+        golden = sorted(
+            (GOLD / f"{parent}.unique.filter.mer").read_bytes().split())
+        assert ours == golden, parent
+
+
+def test_marker_files_same_canonical_sets(built):
+    """Belt-and-braces: canonical (hi,lo) sets identical."""
+    _, paths = built
+    for parent in ("maternal", "paternal"):
+        hi, lo, _ = E.load_mer_file(paths[parent])
+        ghi, glo, _ = E.load_mer_file(str(GOLD / f"{parent}.unique.filter.mer"))
+        ours = set(zip(hi.tolist(), lo.tolist()))
+        gold = set(zip(ghi.tolist(), glo.tolist()))
+        assert ours == gold, parent
+
+
+def test_find_bounds_awk_quirks():
+    # first row IS the running minimum; equal freq flips to max state
+    rows = [(1, 100), (2, 50), (3, 50), (4, 80), (5, 200), (6, 90)]
+    b = M.find_bounds(rows)
+    assert b["MIN_INDEX"] == 2  # row 3 freq 50 is NOT < 50 -> flip
+    assert b["MAX_INDEX"] == 5
+    assert b["LOWER_INDEX"] == 3
+    assert b["UPPER_INDEX"] == 3 * 5 - 2 * 2 - 1
+    # monotonically falling histo: never leaves state 0
+    b2 = M.find_bounds([(1, 10), (2, 5), (3, 1)])
+    assert b2["MAX_INDEX"] == 0 and b2["MIN_INDEX"] == 3
