@@ -1,0 +1,41 @@
+"""Bit-parity of stage 03 against the reference binaries' golden output.
+
+Runs our Split -> classify -> route -> MergePhaseResult -> GenSq on the
+same synthetic pseudohap2 assembly and compares every intermediate and
+final file byte-for-byte (see scripts/make_golden_stage03.py).
+"""
+
+import pathlib
+
+import pytest
+
+from hast_tpu.pipeline import rephase as R
+
+GOLD = pathlib.Path(__file__).parent / "golden" / "stage03"
+
+FILES = [
+    "output.phb.1.fa", "output.phb.2.fa", "output.homo.fa",
+    "phasing.out",
+    "output.phb.12.father.idx", "output.phb.12.mother.idx",
+    "output.phb.12.ambiguous.idx",
+    "output.merge.father.ids", "output.merge.mother.ids",
+    "output.merge.homo.ids",
+    "output.father.fa", "output.father.idx", "output.supplement.fa",
+]
+
+
+@pytest.fixture(scope="module")
+def run_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("stage03")
+    R.mkoutput(assembly_path=str(GOLD / "assembly"), prefix="output",
+               paternal_mer=str(GOLD / "paternal.mer"),
+               maternal_mer=str(GOLD / "maternal.mer"),
+               prefer="paternal", workdir=str(out))
+    return out
+
+
+@pytest.mark.parametrize("name", FILES)
+def test_file_bit_identical(run_dir, name):
+    ours = (run_dir / name).read_bytes()
+    golden = (GOLD / name).read_bytes()
+    assert ours == golden, name
