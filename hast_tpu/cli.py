@@ -36,7 +36,7 @@ def _add_build_markers(sub):
     p.add_argument("--p-lower", type=int, default=9)
     p.add_argument("--p-upper", type=int, default=33)
     p.add_argument("--out-dir", default=".")
-    p.add_argument("--batch-size", type=int, default=1 << 16)
+    p.add_argument("--batch-size", type=int, default=1 << 14)
 
     def run(a):
         from hast_tpu.pipeline import markers as M
@@ -61,7 +61,7 @@ def _add_classify(sub):
     p.add_argument("--weight1", type=float, default=1.0)
     p.add_argument("--adaptor_f", default=None)
     p.add_argument("--adaptor_r", default=None)
-    p.add_argument("--batch-size", type=int, default=1 << 16)
+    p.add_argument("--batch-size", type=int, default=1 << 14)
     p.add_argument("--output", default="-")
 
     def run(a):
@@ -88,7 +88,7 @@ def _add_classify_reads(sub):
     p.add_argument("--adaptor_f", default=None)
     p.add_argument("--adaptor_r", default=None)
     p.add_argument("--workdir", default=".")
-    p.add_argument("--batch-size", type=int, default=1 << 16)
+    p.add_argument("--batch-size", type=int, default=1 << 14)
 
     def run(a):
         from hast_tpu.pipeline import classify as C

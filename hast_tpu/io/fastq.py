@@ -25,7 +25,7 @@ from typing import Iterator
 
 import numpy as np
 
-DEFAULT_BATCH = 1 << 16
+DEFAULT_BATCH = 1 << 14
 LEN_BUCKET = 128
 
 

@@ -1,0 +1,121 @@
+"""ctypes binding for the native hastio reader (with auto-build).
+
+Falls back to None (callers use the pure-Python reader) if the shared
+library is missing and cannot be built.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Iterator
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libhastio.so")
+
+_lib = None
+
+
+def get_lib():
+    """Load (building if needed) libhastio.so; None if unavailable."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.hastio_open.restype = ctypes.c_void_p
+    lib.hastio_open.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                ctypes.c_int, ctypes.c_int]
+    lib.hastio_next_batch.restype = ctypes.c_long
+    lib.hastio_next_batch.argtypes = [
+        ctypes.c_void_p,
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.POINTER(ctypes.c_int32)]
+    lib.hastio_num_barcodes.restype = ctypes.c_long
+    lib.hastio_num_barcodes.argtypes = [ctypes.c_void_p]
+    lib.hastio_get_barcodes.restype = ctypes.c_long
+    lib.hastio_get_barcodes.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                        ctypes.c_long]
+    lib.hastio_close.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+class NativeBatch:
+    """View over one packed batch from the native reader."""
+
+    __slots__ = ("seqs", "lengths", "has_n", "barcode_ids", "n")
+
+    def __init__(self, seqs, lengths, has_n, barcode_ids, n):
+        self.seqs = seqs
+        self.lengths = lengths
+        self.has_n = has_n
+        self.barcode_ids = barcode_ids
+        self.n = n
+
+
+class NativeFastqReader:
+    """Iterate packed batches; barcode strings available after drain."""
+
+    def __init__(self, path: str, batch_size: int = 1 << 16,
+                 len_cap: int = 1024, fastq: bool = True):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("libhastio.so unavailable")
+        self._lib = lib
+        self._h = lib.hastio_open(path.encode(), batch_size, len_cap,
+                                  1 if fastq else 0)
+        if not self._h:
+            raise FileNotFoundError(path)
+        self._bs = batch_size
+        self._cap = len_cap
+
+    def __iter__(self) -> Iterator[NativeBatch]:
+        lib, h, bs = self._lib, self._h, self._bs
+        while True:
+            seqs = np.empty(bs * self._cap, np.uint8)
+            lengths = np.empty(bs, np.int32)
+            has_n = np.empty(bs, np.uint8)
+            bids = np.empty(bs, np.int32)
+            stride = ctypes.c_int32()
+            n = lib.hastio_next_batch(h, seqs, lengths, has_n, bids,
+                                      ctypes.byref(stride))
+            if n <= 0:
+                return
+            yield NativeBatch(
+                seqs[:bs * stride.value].reshape(bs, stride.value),
+                lengths, has_n.astype(bool), bids, int(n))
+
+    def barcodes(self) -> list[bytes]:
+        need = self._lib.hastio_get_barcodes(self._h, None, 0)
+        buf = ctypes.create_string_buffer(int(need))
+        got = self._lib.hastio_get_barcodes(self._h, buf, need)
+        assert got == need, (got, need)
+        raw = buf.raw[:got]
+        return raw.split(b"\n")[:-1] if raw else []
+
+    def close(self):
+        if self._h:
+            self._lib.hastio_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
