@@ -130,6 +130,12 @@ def main():
     exe = ensure_reference()
 
     import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          str(CACHE / "jax_ccache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:
+        log(f"compilation cache unavailable: {e}")
     log(f"devices: {jax.devices()}")
 
     # warm the jit cache with a tiny prefix so compile time is excluded
