@@ -112,6 +112,25 @@ def vote_kernel(data: jax.Array, seqs_u8: jax.Array, lengths: jax.Array,
     return v0, v1
 
 
+@functools.partial(jax.jit, static_argnames=("k", "max_probe"))
+def vote_kernel_multi(data: jax.Array, seqs_u8: jax.Array,
+                      lengths: jax.Array, k: int, max_probe: int):
+    """Super-batched votes: (S, B, L) reads -> (S, B, 2) int32.
+
+    One host->device transfer, one dispatch and one device->host fetch
+    cover S*B reads; lax.map keeps the compiled probe at the per-batch
+    shape where XLA's gather stays in VMEM (large single batches spill
+    and run ~20x slower on v5e).
+    """
+
+    def one(args):
+        seqs, lens = args
+        v0, v1 = vote_kernel(data, seqs, lens, k, max_probe)
+        return jnp.stack([v0, v1], axis=-1)
+
+    return jax.lax.map(one, (seqs_u8, lengths))
+
+
 @dataclasses.dataclass
 class BarcodeTally:
     """barcode -> (count_hap0, count_hap1, count_unknown) accumulator.
@@ -185,32 +204,61 @@ def get_hap(barcode: bytes, c0: int, c1: int, size0: int, size1: int,
 
 def classify_fastqs(table: H.KmerTable, paths: Iterable[str],
                     batch_size: int = FQ.DEFAULT_BATCH,
-                    tally: BarcodeTally | None = None) -> BarcodeTally:
+                    tally: BarcodeTally | None = None,
+                    super_batch: int = 8) -> BarcodeTally:
     """Stream fastq files through the device vote kernel into a tally.
 
-    Keeps two batches in flight so host packing/IO overlaps device
-    compute (JAX async dispatch does the rest).
+    Batches are grouped into super-batches of `super_batch` so each
+    device interaction (transfer, dispatch, fetch) covers
+    super_batch*batch_size reads — the host<->device round-trip count,
+    not device compute, bounds throughput on remote-attached TPUs.
+    All dispatches stay async; results are drained with a one-deep lag.
     """
     tally = tally or BarcodeTally()
     data = table.data if isinstance(table.data, jax.Array) \
         else jnp.asarray(table.data)
     k, mp = table.k, table.max_probe
-    pending = None  # (device v0, v1, barcodes, has_n)
+    S = super_batch
+
+    pending = None  # (device votes (S,B,2), [batch meta])
+    buf: list[FQ.ReadBatch] = []
+
+    def drain(p):
+        votes = np.asarray(p[0])
+        for s, batch in enumerate(p[1]):
+            nb = len(batch.barcodes)
+            tally.add_batch(batch.barcodes, votes[s, :nb, 0],
+                            votes[s, :nb, 1], batch.has_n[:nb])
+
+    def flush():
+        nonlocal pending, buf
+        if not buf:
+            return
+        L = max(b.seqs.shape[1] for b in buf)
+        B = buf[0].seqs.shape[0]
+        seqs = np.zeros((S, B, L), np.uint8)
+        lengths = np.zeros((S, B), np.int32)
+        for s, b in enumerate(buf):
+            seqs[s, :, :b.seqs.shape[1]] = b.seqs
+            lengths[s] = b.lengths
+        votes = vote_kernel_multi(data, jnp.asarray(seqs),
+                                  jnp.asarray(lengths), k, mp)
+        meta = buf
+        buf = []
+        if pending is not None:
+            drain(pending)
+        pending = (votes, meta)
+
     for path in paths:
         print(f"__process read: {path}", file=sys.stderr)
         for batch in FQ.fastq_batches(path, batch_size):
-            v0, v1 = vote_kernel(data, jnp.asarray(batch.seqs),
-                                 jnp.asarray(batch.lengths), k, mp)
-            if pending is not None:
-                pv0, pv1, pbc, phn = pending
-                tally.add_batch(pbc, np.asarray(pv0)[:len(pbc)],
-                                np.asarray(pv1)[:len(pbc)], phn[:len(pbc)])
-            pending = (v0, v1, batch.barcodes, batch.has_n)
+            buf.append(batch)
+            if len(buf) >= S:
+                flush()
         print("__process read done__", file=sys.stderr)
+    flush()
     if pending is not None:
-        pv0, pv1, pbc, phn = pending
-        tally.add_batch(pbc, np.asarray(pv0)[:len(pbc)],
-                        np.asarray(pv1)[:len(pbc)], phn[:len(pbc)])
+        drain(pending)
     return tally
 
 
