@@ -48,13 +48,39 @@ NULL_BARCODES = (b"0_0_0", b"0_0", b"0")
 
 
 def load_marker_table(hap0_path: str, hap1_path: str,
-                      load: float = 0.5) -> H.KmerTable:
+                      load: float = 0.5,
+                      snapshot: bool = True) -> H.KmerTable:
     """Load two one-kmer-per-line marker files into one combined table.
 
     k is inferred from the first line of hap0 (classify.cpp:35-37);
     set sizes are the DISTINCT canonical k-mer counts per haplotype
     (the reference's unordered_set sizes).
+
+    With snapshot=True the built table is cached next to the hap0 file
+    (.probetable.npz keyed on both files' size+mtime) — the framework's
+    analog of jellyfish's binary DB files; text parsing + canonical
+    packing + bucket placement are skipped on re-runs.
     """
+    import os
+    cache_path = hap0_path + ".probetable.npz"
+    key = tuple(
+        (os.path.getsize(p), int(os.path.getmtime(p)))
+        for p in (hap0_path, hap1_path)) + (load,)
+    if snapshot and os.path.exists(cache_path):
+        try:
+            z = np.load(cache_path, allow_pickle=False)
+            if tuple(z["key"].tolist()) == key:
+                table = H.KmerTable(
+                    data=z["data"], n_buckets=int(z["n_buckets"]),
+                    max_probe=int(z["max_probe"]), k=int(z["k"]),
+                    n_keys=int(z["n_keys"]),
+                    set_sizes=tuple(int(x) for x in z["set_sizes"]))
+                for h, n in enumerate(z["line_counts"].tolist()):
+                    print(f"Recorded {n} haplotype {h} specific "
+                          f"{table.k}-mers", file=sys.stderr)
+                return table
+        except Exception:
+            pass
     h0_hi, h0_lo, k = E.load_mer_file(hap0_path)
     h1_hi, h1_lo, k1 = E.load_mer_file(hap1_path, k_expect=k)
     del k1
@@ -69,6 +95,16 @@ def load_marker_table(hap0_path: str, hap1_path: str,
           file=sys.stderr)
     print(f"Recorded {h1_hi.size} haplotype 1 specific {k}-mers",
           file=sys.stderr)
+    if snapshot:
+        try:
+            np.savez(cache_path, data=table.data,
+                     n_buckets=table.n_buckets, max_probe=table.max_probe,
+                     k=table.k, n_keys=table.n_keys,
+                     set_sizes=np.asarray(table.set_sizes),
+                     line_counts=np.asarray([h0_hi.size, h1_hi.size]),
+                     key=np.asarray(key))
+        except Exception:
+            pass
     return table
 
 
@@ -176,6 +212,11 @@ class BarcodeTally:
             ids = self._ids([bc])
             self.counts[ids[0]] += other.counts[oid]
 
+    def merge_ids(self, barcodes: list[bytes], counts: np.ndarray) -> None:
+        """Fold a reader-local (n_barcodes, 3) count table in by name."""
+        ids = self._ids(barcodes)
+        np.add.at(self.counts, ids, counts[:len(barcodes)])
+
     def items(self):
         for bc, i in self.index.items():
             c = self.counts[i]
@@ -205,7 +246,8 @@ def get_hap(barcode: bytes, c0: int, c1: int, size0: int, size1: int,
 def classify_fastqs(table: H.KmerTable, paths: Iterable[str],
                     batch_size: int = FQ.DEFAULT_BATCH,
                     tally: BarcodeTally | None = None,
-                    super_batch: int = 8) -> BarcodeTally:
+                    super_batch: int = 8,
+                    engine: str = "auto") -> BarcodeTally:
     """Stream fastq files through the device vote kernel into a tally.
 
     Batches are grouped into super-batches of `super_batch` so each
@@ -213,7 +255,23 @@ def classify_fastqs(table: H.KmerTable, paths: Iterable[str],
     super_batch*batch_size reads — the host<->device round-trip count,
     not device compute, bounds throughput on remote-attached TPUs.
     All dispatches stay async; results are drained with a one-deep lag.
+
+    engine: "native" uses the C++ hastio reader (decode + pack +
+    barcode dictionary off the GIL with a prefetch thread), "python"
+    the pure-python reader, "auto" native when the shared library is
+    available.  Outputs are identical.
     """
+    if engine in ("auto", "native"):
+        try:
+            from hast_tpu.io import native as N
+            if N.get_lib() is not None:
+                return _classify_fastqs_native(
+                    table, paths, batch_size, tally, super_batch, N)
+            if engine == "native":
+                raise RuntimeError("libhastio.so unavailable")
+        except ImportError:
+            if engine == "native":
+                raise
     tally = tally or BarcodeTally()
     data = table.data if isinstance(table.data, jax.Array) \
         else jnp.asarray(table.data)
@@ -259,6 +317,77 @@ def classify_fastqs(table: H.KmerTable, paths: Iterable[str],
     flush()
     if pending is not None:
         drain(pending)
+    return tally
+
+
+def _classify_fastqs_native(table, paths, batch_size, tally, super_batch,
+                            N) -> BarcodeTally:
+    """Native-reader fast path: identical tallies, no per-read python."""
+    tally = tally or BarcodeTally()
+    data = table.data if isinstance(table.data, jax.Array) \
+        else jnp.asarray(table.data)
+    k, mp = table.k, table.max_probe
+    S = super_batch
+    for path in paths:
+        print(f"__process read: {path}", file=sys.stderr)
+        reader = N.NativeFastqReader(path, batch_size, len_cap=1024)
+        local = np.zeros((1 << 12, 3), np.int64)
+        pending = None  # (device votes, [native batch meta])
+        buf: list = []
+
+        def grow(max_id):
+            nonlocal local
+            if max_id >= local.shape[0]:
+                new = max(max_id + 1, 2 * local.shape[0])
+                local = np.vstack(
+                    [local, np.zeros((new - local.shape[0], 3), np.int64)])
+
+        def drain(p):
+            votes = np.asarray(p[0])
+            for s, b in enumerate(p[1]):
+                n = b.n
+                ids = b.barcode_ids[:n]
+                if n:
+                    grow(int(ids.max()))
+                v0 = votes[s, :n, 0].astype(np.int64)
+                v1 = votes[s, :n, 1].astype(np.int64)
+                hn = b.has_n[:n]
+                v0 = np.where(hn, 0, v0)
+                v1 = np.where(hn, 0, v1)
+                unk = (hn | ((v0 == 0) & (v1 == 0))).astype(np.int64)
+                np.add.at(local[:, 0], ids, v0)
+                np.add.at(local[:, 1], ids, v1)
+                np.add.at(local[:, 2], ids, unk)
+
+        def flush():
+            nonlocal pending, buf
+            if not buf:
+                return
+            L = max(b.seqs.shape[1] for b in buf)
+            seqs = np.zeros((S, batch_size, L), np.uint8)
+            lengths = np.zeros((S, batch_size), np.int32)
+            for s, b in enumerate(buf):
+                seqs[s, :, :b.seqs.shape[1]] = b.seqs
+                lengths[s] = b.lengths
+            votes = vote_kernel_multi(data, jnp.asarray(seqs),
+                                      jnp.asarray(lengths), k, mp)
+            meta = buf
+            buf = []
+            if pending is not None:
+                drain(pending)
+            pending = (votes, meta)
+
+        for batch in reader:
+            buf.append(batch)
+            if len(buf) >= S:
+                flush()
+        flush()
+        if pending is not None:
+            drain(pending)
+        barcodes = reader.barcodes()
+        reader.close()
+        tally.merge_ids(barcodes, local)
+        print("__process read done__", file=sys.stderr)
     return tally
 
 
