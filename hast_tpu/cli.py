@@ -289,6 +289,119 @@ def _add_classify_hic(sub):
     p.set_defaults(func=run)
 
 
+def _add_vcfqc(sub):
+    """All ten self_vcftools programs as vcf-* subcommands."""
+
+    def run_deferred(name, nargs, help_, fn_name):
+        p = sub.add_parser(name, help=help_)
+        for arg in nargs:
+            p.add_argument(arg)
+
+        def run(a):
+            from hast_tpu.tools import vcfqc as V
+            fn = getattr(V, fn_name)
+            fn(*[getattr(a, arg) for arg in nargs], _stdout_text())
+        p.set_defaults(func=run)
+
+    run_deferred("vcf-snp-only", ["vcf"],
+                 "GetSNPOnly: echo SNP lines", "get_snp_only")
+    run_deferred("vcf-snp-info", ["vcf"],
+                 "GetSNPInfo: CHROM POS ALT1 ALT2", "get_snp_info")
+    run_deferred("vcf-phased-snp", ["vcf"],
+                 "PhasedSNP: phased het SNPs + PS blocks", "phased_snp")
+    run_deferred("vcf-dipcall-hapsnp", ["vcf"],
+                 "GetHapSNP_fromDipcall", "get_hapsnp_from_dipcall")
+    run_deferred("vcf-merge-hap-snp", ["hap1_vcf", "hap2_vcf"],
+                 "MergeHapSNP: pair SNPs across hap VCFs (chr1-22)",
+                 "merge_hap_snp")
+    run_deferred("vcf-hap-inherit", ["parent_vcf", "child_vcf"],
+                 "HapInherit: inheritance typing vs one parent",
+                 "hap_inherit")
+    run_deferred("vcf-inherit-solid", ["p1_vcf", "p2_vcf", "f1_vcf"],
+                 "InheritSolidSNP: trio-consistent solid SNPs",
+                 "inherit_solid_snp")
+    run_deferred("vcf-inherit-3aa", ["p1_vcf", "p2_vcf", "f1_vcf"],
+                 "Inherit3Aa: both-parents-both-alleles SNPs",
+                 "inherit_3aa")
+    run_deferred("vcf-phase-inherit-solid", ["p1_vcf", "p2_vcf", "f1_vcf"],
+                 "PhaseInheritSolidSNP (stats only, as shipped)",
+                 "phase_inherit_solid_snp")
+
+    p = sub.add_parser("vcf-calc-hd",
+                       help="CalcHD: Hamming + switch error rate")
+    p.add_argument("true_phased_blocks")
+    p.add_argument("merged_snps")
+
+    def run_hd(a):
+        from hast_tpu.tools import vcfqc as V
+        V.calc_hd(a.true_phased_blocks, a.merged_snps)
+    p.set_defaults(func=run_hd)
+
+
+def _stdout_text():
+    import io
+    return io.TextIOWrapper(sys.stdout.buffer, write_through=True)
+
+
+def _add_heatalign(sub):
+    p = sub.add_parser("draw-heatalign",
+                       help="KIR/MHC alignment heat SVG to stdout")
+    p.add_argument("ref_len", type=int)
+    p.add_argument("-i", dest="aligns", action="append", required=True,
+                   help="xxx.align.txt (repeatable)")
+    p.add_argument("-g", dest="genes", default=None)
+    p.add_argument("--preset", choices=("KIR", "MHC"), default="KIR")
+
+    def run(a):
+        from hast_tpu.tools.heatalign import draw_heatalign
+        draw_heatalign(a.ref_len, a.aligns, _stdout_text(),
+                       gene_file=a.genes, preset=a.preset)
+    p.set_defaults(func=run)
+
+    p2 = sub.add_parser("get-n", help="report N runs in fasta (stdin)")
+
+    def run_n(a):
+        from hast_tpu.tools.heatalign import get_n
+        get_n(sys.stdin, _stdout_text())
+    p2.set_defaults(func=run_n)
+
+    p3 = sub.add_parser("check-genes",
+                        help="per-gene alignment coverage fraction")
+    p3.add_argument("align_txt")
+    p3.add_argument("genes_txt")
+
+    def run_g(a):
+        from hast_tpu.tools.heatalign import check_genes
+        check_genes(a.align_txt, a.genes_txt, _stdout_text())
+    p3.set_defaults(func=run_g)
+
+
+def _add_plot_bounds(sub):
+    p = sub.add_parser("plot-bounds",
+                       help="k-mer depth histogram plot (draw_bounds.py)")
+    p.add_argument("--workdir", default=".")
+    p.add_argument("--out", default="test.png")
+
+    def run(a):
+        from hast_tpu.utils.plot_bounds import plot_bounds
+        path = plot_bounds(a.workdir, a.out)
+        print(path if path else "matplotlib unavailable; skipped")
+    p.set_defaults(func=run)
+
+
+def _add_filter_barcodes(sub):
+    p = sub.add_parser("filter-fastq-by-barcodes",
+                       help="keep records whose barcode is listed "
+                            "(filter_fq_by_barcodes.awk)")
+    p.add_argument("fastq")
+    p.add_argument("barcode_list")
+
+    def run(a):
+        from hast_tpu.pipeline.partition import filter_fastq_by_barcodes
+        filter_fastq_by_barcodes(a.fastq, a.barcode_list, sys.stdout.buffer)
+    p.set_defaults(func=run)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="hast_tpu", description=__doc__,
@@ -297,7 +410,8 @@ def main(argv=None):
     for add in (_add_build_markers, _add_classify, _add_classify_reads,
                 _add_merge_results, _add_prepare_10x, _add_assemble,
                 _add_mkoutput, _add_classify_segments, _add_run,
-                _add_mark_library, _add_classify_hic):
+                _add_mark_library, _add_classify_hic, _add_vcfqc,
+                _add_heatalign, _add_plot_bounds, _add_filter_barcodes):
         add(sub)
     args = parser.parse_args(argv)
     args.func(args)
