@@ -153,8 +153,10 @@ def sharded_count_chunk(mesh: Mesh, seqs_u8: jax.Array, lengths: jax.Array,
                 (h // jnp.uint32((1 << 32) // dp)).astype(jnp.int32)
             dest = jnp.minimum(dest, dp - 1)
         dest = jnp.where(hi == E.SENTINEL, jax.lax.axis_index("dp"), dest)
-        # order by destination, then fill fixed-capacity buckets
-        dest_s, hi_s, lo_s = jax.lax.sort((dest, hi, lo), num_keys=1)
+        # order by (dest, hi, lo): sentinels sort to the END of each
+        # destination group, so capacity overflow sheds padding first
+        # and never drops real k-mers
+        dest_s, hi_s, lo_s = jax.lax.sort((dest, hi, lo), num_keys=3)
         pos = jnp.arange(n, dtype=jnp.int32)
         start = jnp.searchsorted(dest_s, jnp.arange(dp, dtype=jnp.int32))
         offset = pos - jnp.take(start, dest_s)

@@ -246,7 +246,7 @@ def get_hap(barcode: bytes, c0: int, c1: int, size0: int, size1: int,
 def classify_fastqs(table: H.KmerTable, paths: Iterable[str],
                     batch_size: int = FQ.DEFAULT_BATCH,
                     tally: BarcodeTally | None = None,
-                    super_batch: int = 8,
+                    super_batch: int = 16,
                     engine: str = "auto") -> BarcodeTally:
     """Stream fastq files through the device vote kernel into a tally.
 
@@ -332,7 +332,7 @@ def _classify_fastqs_native(table, paths, batch_size, tally, super_batch,
         print(f"__process read: {path}", file=sys.stderr)
         reader = N.NativeFastqReader(path, batch_size, len_cap=1024)
         local = np.zeros((1 << 12, 3), np.int64)
-        pending = None  # (device votes, [native batch meta])
+        inflight: list = []  # [(device votes, [native batch meta])]
         buf: list = []
 
         def grow(max_id):
@@ -360,7 +360,7 @@ def _classify_fastqs_native(table, paths, batch_size, tally, super_batch,
                 np.add.at(local[:, 2], ids, unk)
 
         def flush():
-            nonlocal pending, buf
+            nonlocal buf
             if not buf:
                 return
             L = max(b.seqs.shape[1] for b in buf)
@@ -371,19 +371,26 @@ def _classify_fastqs_native(table, paths, batch_size, tally, super_batch,
                 lengths[s] = b.lengths
             votes = vote_kernel_multi(data, jnp.asarray(seqs),
                                       jnp.asarray(lengths), k, mp)
-            meta = buf
+            # start the device->host copy now; collect at the end so
+            # every super-batch stays in flight (latency hiding on
+            # remote-attached devices)
+            try:
+                votes.copy_to_host_async()
+            except Exception:
+                pass
+            inflight.append((votes, buf))
             buf = []
-            if pending is not None:
-                drain(pending)
-            pending = (votes, meta)
+            # bound memory: drain the oldest once a few are queued
+            if len(inflight) > 6:
+                drain(inflight.pop(0))
 
         for batch in reader:
             buf.append(batch)
             if len(buf) >= S:
                 flush()
         flush()
-        if pending is not None:
-            drain(pending)
+        for p in inflight:
+            drain(p)
         barcodes = reader.barcodes()
         reader.close()
         tally.merge_ids(barcodes, local)

@@ -127,3 +127,16 @@ def test_merge_matches_single_run():
         PMerge.merge_phased_files(paths, merged, size0, size1, w0=1.04)
     golden = (GOLD / "phased.barcodes.golden").read_bytes()
     assert merged.getvalue() == golden
+
+
+def test_count_files_sharded_matches_host(tmp_path):
+    from hast_tpu.parallel import distributed as D
+    from hast_tpu.pipeline import markers as M
+    pathlib = __import__("pathlib")
+    gold = pathlib.Path(__file__).parent / "golden" / "e2e"
+    mesh = PM.make_mesh(8, tp=1)
+    paths = [str(gold / "paternal.fa.gz")]
+    ours = D.count_files_sharded(mesh, paths, 21, batch_size=4096)
+    want = M.count_files(paths, 21, batch_size=4096)
+    np.testing.assert_array_equal(ours.words, want.words)
+    np.testing.assert_array_equal(ours.counts, want.counts)
