@@ -39,3 +39,12 @@ def test_file_bit_identical(run_dir, name):
     ours = (run_dir / name).read_bytes()
     golden = (GOLD / name).read_bytes()
     assert ours == golden, name
+
+
+def test_classify_segments_fastq_mode():
+    import io
+    from hast_tpu.pipeline.rephase import classify_segments
+    out = io.StringIO()
+    classify_segments([str(GOLD / "paternal.mer"), str(GOLD / "maternal.mer")],
+                      [str(GOLD / "fastq_mode.fq")], out, fmt="fastq")
+    assert out.getvalue() == (GOLD / "fastq_mode.out").read_text()
