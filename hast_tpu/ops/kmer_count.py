@@ -149,9 +149,14 @@ class Counter:
     lexsort over distinct-per-chunk keys) — the union-sum reduce.
     """
 
-    def __init__(self, k: int):
+    def __init__(self, k: int, compact_above: int = 200_000_000):
         self.k = k
         self._runs: list[tuple[np.ndarray, np.ndarray]] = []
+        self._pending = 0
+        # bound host memory: merge accumulated runs once they exceed
+        # this many distinct-per-chunk entries (meryl's union-sum of
+        # intermediate DBs, build_unshared_kmers.sh chunking analog)
+        self._compact_above = compact_above
 
     def add_sorted_chunk(self, hi: np.ndarray, lo: np.ndarray) -> None:
         words = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
@@ -160,6 +165,10 @@ class Counter:
         u, c = _rle_sorted(words[:n_valid])
         if u.size:
             self._runs.append((u, c))
+            self._pending += u.size
+            if self._pending > self._compact_above:
+                self.finalize()
+                self._pending = self._runs[0][0].size if self._runs else 0
 
     def merge(self, other: "Counter") -> None:
         self._runs.extend(other._runs)
