@@ -1,0 +1,57 @@
+"""Native hastio reader vs the pure-python reader (must be identical)."""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from hast_tpu.io import fastq as FQ
+
+GOLD = pathlib.Path(__file__).parent / "golden" / "stage01"
+
+
+def _native():
+    from hast_tpu.io import native as N
+    if N.get_lib() is None:
+        pytest.skip("libhastio.so unavailable")
+    return N
+
+
+@pytest.mark.parametrize("name", ["reads1.fq.gz", "reads2.fq"])
+def test_native_matches_python(name):
+    N = _native()
+    path = str(GOLD / name)
+    reader = N.NativeFastqReader(path, batch_size=512, len_cap=256)
+    nat = []
+    for b in reader:
+        for i in range(b.n):
+            L = int(b.lengths[i])
+            nat.append((b.seqs[i, :L].tobytes(), bool(b.has_n[i]),
+                        int(b.barcode_ids[i])))
+    barcodes = reader.barcodes()
+    reader.close()
+
+    py = []
+    py_bc = {}
+    for head, seq, _, _ in FQ.fastq_records(path):
+        bc = FQ.parse_barcode(head)
+        if bc not in py_bc:
+            py_bc[bc] = len(py_bc)
+        py.append((seq, b"N" in seq, py_bc[bc]))
+
+    assert len(nat) == len(py)
+    for a, b in zip(nat, py):
+        assert a == b
+    assert barcodes == list(py_bc)
+
+
+def test_native_long_reads_truncate():
+    N = _native()
+    import tempfile, os
+    with tempfile.NamedTemporaryFile("wb", suffix=".fq", delete=False) as f:
+        f.write(b"@r#1_2_3/1\n" + b"A" * 3000 + b"\n+\n" + b"F" * 3000 + b"\n")
+        path = f.name
+    reader = N.NativeFastqReader(path, batch_size=4, len_cap=1024)
+    batches = list(reader)
+    os.unlink(path)
+    assert batches[0].lengths[0] == 1024  # capped at len_cap
