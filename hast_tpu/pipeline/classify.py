@@ -378,7 +378,11 @@ def _classify_fastqs_native(table, paths, batch_size, tally, super_batch,
                 votes.copy_to_host_async()
             except Exception:
                 pass
-            inflight.append((votes, buf))
+            # keep only what drain needs; the packed seq buffers are
+            # large views and must not be pinned by the inflight queue
+            slim = [type("M", (), dict(n=b.n, barcode_ids=b.barcode_ids,
+                                       has_n=b.has_n))() for b in buf]
+            inflight.append((votes, slim))
             buf = []
             # bound memory: drain the oldest once a few are queued
             if len(inflight) > 6:
