@@ -167,6 +167,47 @@ def vote_kernel_multi(data: jax.Array, seqs_u8: jax.Array,
     return jax.lax.map(one, (seqs_u8, lengths))
 
 
+def pack_codes_np(seqs_u8: np.ndarray) -> np.ndarray:
+    """(…, L) ASCII -> (…, L/4) 2-bit packed uint8, host side.
+
+    Replicates the reference encoding on every byte ((c>>1)&3, so
+    IUPAC garbage packs to the same garbage); L must be a multiple of
+    4 (batch strides are multiples of 128).  Shrinks host->device
+    transfers 4x.
+    """
+    codes = (seqs_u8 >> 1) & np.uint8(3)
+    return (codes[..., 0::4] | (codes[..., 1::4] << np.uint8(2))
+            | (codes[..., 2::4] << np.uint8(4))
+            | (codes[..., 3::4] << np.uint8(6)))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_probe"))
+def vote_kernel_packed(data: jax.Array, packed: jax.Array,
+                       lengths: jax.Array, k: int, max_probe: int):
+    """Super-batched votes over 2-bit packed reads: (S, B, L/4) uint8.
+
+    Same results as :func:`vote_kernel_multi`; the unpack is a few VPU
+    shifts, far cheaper than shipping ASCII over the interconnect.
+    """
+
+    def one(args):
+        p, lens = args
+        b, lp = p.shape
+        shifts = jnp.arange(4, dtype=jnp.int32) * 2
+        codes = ((p.astype(jnp.int32)[:, :, None] >> shifts[None, None, :])
+                 & 3).reshape(b, lp * 4)
+        hi, lo = E.canonical_kmers(codes, k)
+        good = jnp.ones(codes.shape, bool)
+        valid = E.window_valid(good, lens, k)
+        pay = H.probe(data, hi, lo, max_probe)
+        pay = jnp.where(valid, pay, 0)
+        v0 = jnp.sum(pay & 1, axis=-1, dtype=jnp.int32)
+        v1 = jnp.sum((pay >> 1) & 1, axis=-1, dtype=jnp.int32)
+        return jnp.stack([v0, v1], axis=-1)
+
+    return jax.lax.map(one, (packed, lengths))
+
+
 @dataclasses.dataclass
 class BarcodeTally:
     """barcode -> (count_hap0, count_hap1, count_unknown) accumulator.
@@ -246,7 +287,7 @@ def get_hap(barcode: bytes, c0: int, c1: int, size0: int, size1: int,
 def classify_fastqs(table: H.KmerTable, paths: Iterable[str],
                     batch_size: int = FQ.DEFAULT_BATCH,
                     tally: BarcodeTally | None = None,
-                    super_batch: int = 16,
+                    super_batch: int = 8,
                     engine: str = "auto") -> BarcodeTally:
     """Stream fastq files through the device vote kernel into a tally.
 
@@ -299,8 +340,8 @@ def classify_fastqs(table: H.KmerTable, paths: Iterable[str],
         for s, b in enumerate(buf):
             seqs[s, :, :b.seqs.shape[1]] = b.seqs
             lengths[s] = b.lengths
-        votes = vote_kernel_multi(data, jnp.asarray(seqs),
-                                  jnp.asarray(lengths), k, mp)
+        votes = vote_kernel_packed(data, jnp.asarray(pack_codes_np(seqs)),
+                                   jnp.asarray(lengths), k, mp)
         meta = buf
         buf = []
         if pending is not None:
@@ -369,8 +410,8 @@ def _classify_fastqs_native(table, paths, batch_size, tally, super_batch,
             for s, b in enumerate(buf):
                 seqs[s, :, :b.seqs.shape[1]] = b.seqs
                 lengths[s] = b.lengths
-            votes = vote_kernel_multi(data, jnp.asarray(seqs),
-                                      jnp.asarray(lengths), k, mp)
+            votes = vote_kernel_packed(data, jnp.asarray(pack_codes_np(seqs)),
+                                       jnp.asarray(lengths), k, mp)
             # start the device->host copy now; collect at the end so
             # every super-batch stays in flight (latency hiding on
             # remote-attached devices)
