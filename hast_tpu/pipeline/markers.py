@@ -25,7 +25,6 @@ import os
 import sys
 from typing import Sequence
 
-import numpy as np
 
 from hast_tpu.io import fastq as FQ
 from hast_tpu.ops import kmer_count as KC

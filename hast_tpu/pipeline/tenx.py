@@ -143,7 +143,7 @@ def prepare_10x(read1_bins: list[str], read2_bins: list[str],
     avoid the extra disk roundtrip — same output reads.
     """
     import os
-    import tempfile
+
 
     freq = barcode_freq(read1_bins)
     write_barcode_freq(freq, os.path.join(out_dir, "barcode_freq.txt"))

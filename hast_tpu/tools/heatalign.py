@@ -17,7 +17,6 @@ reference uses int variables, raw floats in the polygon path).
 from __future__ import annotations
 
 import dataclasses
-import math
 import sys
 
 HEATCOLORS = [
