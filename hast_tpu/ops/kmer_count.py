@@ -173,6 +173,11 @@ class Counter:
     def merge(self, other: "Counter") -> None:
         self._runs.extend(other._runs)
 
+    def add_table(self, table: "CountTable") -> None:
+        """Union-sum a finalized table into this counter."""
+        if table.words.size:
+            self._runs.append((table.words, table.counts))
+
     def finalize(self) -> CountTable:
         if not self._runs:
             return CountTable(np.zeros(0, np.uint64), np.zeros(0, np.int64),

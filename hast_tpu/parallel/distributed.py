@@ -75,7 +75,7 @@ def count_files_sharded(mesh, paths: Sequence[str], k: int,
                 t = KC.count_batches([type("B", (), dict(
                     seqs=batch.seqs[rows:],
                     lengths=batch.lengths[rows:]))()], k)
-                counter._runs.append((t.words, t.counts))
+                counter.add_table(t)
     if dropped_total:
         raise RuntimeError(
             f"{dropped_total} k-mers dropped by all_to_all capacity; "

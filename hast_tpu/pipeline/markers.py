@@ -40,7 +40,7 @@ def count_files(paths: Sequence[str], k: int,
     counter = KC.Counter(k)
     for path in paths:
         t = KC.count_batches(FQ.sequence_batches(path, k, batch_size), k)
-        counter._runs.append((t.words, t.counts))
+        counter.add_table(t)
     return counter.finalize()
 
 
