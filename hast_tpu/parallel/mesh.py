@@ -117,6 +117,48 @@ def sharded_classify_step(mesh: Mesh, table_sharded: jax.Array,
     )(table_sharded, seqs_u8, lengths, barcode_ids, has_n)
 
 
+@functools.partial(jax.jit, static_argnames=("mesh", "k", "max_probe",
+                                              "n_buckets"))
+def sharded_vote_step(mesh: Mesh, table_sharded: jax.Array,
+                      packed: jax.Array, lengths: jax.Array,
+                      k: int, max_probe: int, n_buckets: int):
+    """Per-read votes on a dp×tp mesh: (S, B, L/4) packed -> (S, B, 2).
+
+    Streaming-pipeline variant of :func:`sharded_classify_step`: the
+    barcode reduction stays on the host (barcode ids are host-side
+    dictionary state), so this only shards the probe — reads split
+    over dp (dim 1), table over tp, psum over tp rebuilds payloads.
+    """
+    tp = mesh.shape["tp"]
+    buckets_per_shard = n_buckets // tp
+
+    def step(table_local, packed, lengths):
+        tp_index = jax.lax.axis_index("tp")
+
+        def one(args):
+            p, lens = args
+            b, lp = p.shape
+            shifts = jnp.arange(4, dtype=jnp.int32) * 2
+            codes = ((p.astype(jnp.int32)[:, :, None]
+                      >> shifts[None, None, :]) & 3).reshape(b, lp * 4)
+            hi, lo = E.canonical_kmers(codes, k)
+            valid = E.window_valid(jnp.ones(codes.shape, bool), lens, k)
+            pay = _probe_local(table_local, hi, lo, n_buckets, max_probe,
+                               tp_index, buckets_per_shard)
+            pay = jax.lax.psum(jnp.where(valid, pay, 0), "tp")
+            v0 = jnp.sum(pay & 1, axis=-1, dtype=jnp.int32)
+            v1 = jnp.sum((pay >> 1) & 1, axis=-1, dtype=jnp.int32)
+            return jnp.stack([v0, v1], axis=-1)
+
+        return jax.lax.map(one, (packed, lengths))
+
+    return jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P("tp", None), P(None, "dp", None), P(None, "dp")),
+        out_specs=P(None, "dp", None),
+    )(table_sharded, packed, lengths)
+
+
 @functools.partial(jax.jit, static_argnames=("mesh", "k"))
 def sharded_count_chunk(mesh: Mesh, seqs_u8: jax.Array, lengths: jax.Array,
                         k: int):

@@ -362,12 +362,15 @@ def classify_fastqs(table: H.KmerTable, paths: Iterable[str],
 
 
 def _classify_fastqs_native(table, paths, batch_size, tally, super_batch,
-                            N) -> BarcodeTally:
+                            N, vote_fn=None) -> BarcodeTally:
     """Native-reader fast path: identical tallies, no per-read python."""
     tally = tally or BarcodeTally()
     data = table.data if isinstance(table.data, jax.Array) \
         else jnp.asarray(table.data)
     k, mp = table.k, table.max_probe
+    if vote_fn is None:
+        vote_fn = lambda packed, lengths: vote_kernel_packed(
+            data, packed, lengths, k, mp)
     S = super_batch
     for path in paths:
         print(f"__process read: {path}", file=sys.stderr)
@@ -410,8 +413,8 @@ def _classify_fastqs_native(table, paths, batch_size, tally, super_batch,
             for s, b in enumerate(buf):
                 seqs[s, :, :b.seqs.shape[1]] = b.seqs
                 lengths[s] = b.lengths
-            votes = vote_kernel_packed(data, jnp.asarray(pack_codes_np(seqs)),
-                                       jnp.asarray(lengths), k, mp)
+            votes = vote_fn(jnp.asarray(pack_codes_np(seqs)),
+                            jnp.asarray(lengths))
             # start the device->host copy now; collect at the end so
             # every super-batch stays in flight (latency hiding on
             # remote-attached devices)
@@ -469,3 +472,30 @@ def run_classify(hap0: str, hap1: str, reads: list[str], out,
     write_phased_barcodes(tally, table, out, w0, w1)
     print("__END__", file=sys.stderr)
     return tally
+
+
+def classify_fastqs_mesh(mesh, table: H.KmerTable, paths: Iterable[str],
+                         batch_size: int = FQ.DEFAULT_BATCH,
+                         tally: BarcodeTally | None = None,
+                         super_batch: int = 8) -> BarcodeTally:
+    """Multi-device classify: table tp-sharded, read batches dp-split.
+
+    Identical tallies to :func:`classify_fastqs`; the probe runs on a
+    jax.sharding.Mesh via parallel.mesh.sharded_vote_step (barcode
+    dictionary + reduction stay host-side).  batch_size must be a
+    multiple of the mesh's dp extent.
+    """
+    from hast_tpu.io import native as N
+    from hast_tpu.parallel import mesh as PM
+
+    if N.get_lib() is None:
+        raise RuntimeError("mesh classify requires libhastio.so")
+    assert batch_size % mesh.shape["dp"] == 0, (batch_size, dict(mesh.shape))
+    tdata = PM.shard_table(mesh, table)
+    k, mp, nb = table.k, table.max_probe, table.n_buckets
+
+    def vote_fn(packed, lengths):
+        return PM.sharded_vote_step(mesh, tdata, packed, lengths, k, mp, nb)
+
+    return _classify_fastqs_native(table, paths, batch_size, tally,
+                                   super_batch, N, vote_fn=vote_fn)

@@ -140,3 +140,17 @@ def test_count_files_sharded_matches_host(tmp_path):
     want = M.count_files(paths, 21, batch_size=4096)
     np.testing.assert_array_equal(ours.words, want.words)
     np.testing.assert_array_equal(ours.counts, want.counts)
+
+
+def test_classify_fastqs_mesh_matches_golden():
+    """Streaming classify on a dp×tp mesh == the golden single run."""
+    mesh = PM.make_mesh(8, tp=2)
+    table = C.load_marker_table(str(GOLD / "hap0.mer"),
+                                str(GOLD / "hap1.mer"))
+    C.erase_adaptors(table)
+    tally = C.classify_fastqs_mesh(
+        mesh, table, [str(GOLD / "reads1.fq.gz"), str(GOLD / "reads2.fq")],
+        batch_size=4096)
+    out = io.BytesIO()
+    C.write_phased_barcodes(tally, table, out, w0=1.04)
+    assert out.getvalue() == (GOLD / "phased.barcodes.golden").read_bytes()
