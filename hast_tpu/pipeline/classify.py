@@ -461,16 +461,22 @@ def run_classify(hap0: str, hap1: str, reads: list[str], out,
                  adaptor_f: str = ADAPTOR_F, adaptor_r: str = ADAPTOR_R,
                  batch_size: int = FQ.DEFAULT_BATCH) -> BarcodeTally:
     """Full stage-01 classify: the reference binary's main()."""
+    from hast_tpu.utils.profiling import PhaseTimer
+    timer = PhaseTimer()
     print("__START__", file=sys.stderr)
     print(f" use hap0 weight {w0:g}", file=sys.stderr)
     print(f" use hap1 weight {w1:g}", file=sys.stderr)
-    table = load_marker_table(hap0, hap1)
-    erase_adaptors(table, adaptor_f, adaptor_r)
-    table.device_put()
-    tally = classify_fastqs(table, reads, batch_size)
+    with timer.phase("load_markers"):
+        table = load_marker_table(hap0, hap1)
+        erase_adaptors(table, adaptor_f, adaptor_r)
+        table.device_put()
+    with timer.phase("classify"):
+        tally = classify_fastqs(table, reads, batch_size)
     print("__print result__", file=sys.stderr)
-    write_phased_barcodes(tally, table, out, w0, w1)
+    with timer.phase("decide_write"):
+        write_phased_barcodes(tally, table, out, w0, w1)
     print("__END__", file=sys.stderr)
+    timer.report()
     return tally
 
 
