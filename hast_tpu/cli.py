@@ -63,6 +63,9 @@ def _add_classify(sub):
     p.add_argument("--adaptor_r", default=None)
     p.add_argument("--batch-size", type=int, default=1 << 14)
     p.add_argument("--output", default="-")
+    p.add_argument("--mesh", default=None, metavar="DPxTP",
+                   help="shard over local devices, e.g. 4x2 "
+                        "(table over tp, reads over dp)")
 
     def run(a):
         from hast_tpu.pipeline import classify as C
@@ -72,8 +75,18 @@ def _add_classify(sub):
             kw["adaptor_f"] = a.adaptor_f
         if a.adaptor_r is not None:
             kw["adaptor_r"] = a.adaptor_r
-        C.run_classify(a.hap0, a.hap1, a.read, out, w0=a.weight0,
-                       w1=a.weight1, batch_size=a.batch_size, **kw)
+        if a.mesh:
+            from hast_tpu.parallel.mesh import make_mesh
+            dp, tp = (int(x) for x in a.mesh.lower().split("x"))
+            mesh = make_mesh(dp * tp, tp=tp)
+            table = C.load_marker_table(a.hap0, a.hap1)
+            C.erase_adaptors(table, **kw)
+            tally = C.classify_fastqs_mesh(mesh, table, a.read,
+                                           batch_size=a.batch_size)
+            C.write_phased_barcodes(tally, table, out, a.weight0, a.weight1)
+        else:
+            C.run_classify(a.hap0, a.hap1, a.read, out, w0=a.weight0,
+                           w1=a.weight1, batch_size=a.batch_size, **kw)
         if out is not sys.stdout.buffer:
             out.close()
     p.set_defaults(func=run)
