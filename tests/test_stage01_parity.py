@@ -66,3 +66,13 @@ def test_quartering_bit_identical(tmp_path, monkeypatch):
     # unknown-barcode stderr lines match the reference awk's
     golden_err = (GOLD / "quarter" / "quarter.stderr").read_text()
     assert err.getvalue() == golden_err
+
+
+def test_edge_marker_files_bit_identical():
+    """Duplicate lines, reverse-complement duplicates and k-mers shared
+    between both marker files (reference keeps them in both sets and a
+    hit votes for both haplotypes)."""
+    out = io.BytesIO()
+    C.run_classify(str(GOLD / "edge.hap0.mer"), str(GOLD / "edge.hap1.mer"),
+                   [str(GOLD / "edge.fq")], out, w0=1.04, batch_size=4096)
+    assert out.getvalue() == (GOLD / "edge.phased.golden").read_bytes()
