@@ -52,6 +52,9 @@ def get_lib():
     lib.hastio_get_barcodes.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                         ctypes.c_long]
     lib.hastio_close.argtypes = [ctypes.c_void_p]
+    lib.hastio_quarter.restype = ctypes.c_int
+    lib.hastio_quarter.argtypes = [ctypes.c_char_p] * 6 + [
+        ctypes.POINTER(ctypes.c_long)]
     _lib = lib
     return _lib
 
@@ -119,3 +122,20 @@ class NativeFastqReader:
             self.close()
         except Exception:
             pass
+
+
+def native_quarter(fastq_path: str, prefix: str, pat_list: str,
+                   mat_list: str, homo_list: str,
+                   log_path: str) -> dict[str, int] | None:
+    """C++ quartering; returns stats dict or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    stats = (ctypes.c_long * 6)()
+    rc = lib.hastio_quarter(fastq_path.encode(), prefix.encode(),
+                            pat_list.encode(), mat_list.encode(),
+                            homo_list.encode(), log_path.encode(), stats)
+    if rc != 0:
+        raise RuntimeError(f"hastio_quarter failed with code {rc}")
+    return dict(total=stats[0], no_reads=stats[1], pa_reads=stats[2],
+                ma_reads=stats[3], ho_reads=stats[4], un_reads=stats[5])

@@ -63,6 +63,18 @@ def quarter_fastq(fastq_path: str, paternal_barcodes: str,
         prefix = os.path.basename(fastq_path)
         if prefix.endswith(".gz"):
             prefix = prefix[:-3]
+    # native fast path (identical outputs; its unknown-barcode messages
+    # go to the real stderr, so only take it when err is sys.stderr)
+    if err is sys.stderr:
+        try:
+            from hast_tpu.io.native import native_quarter
+            stats = native_quarter(fastq_path, prefix, paternal_barcodes,
+                                   maternal_barcodes, homozygous_barcodes,
+                                   log_path)
+            if stats is not None:
+                return stats
+        except (ImportError, RuntimeError):
+            pass
     pat = _load_set(paternal_barcodes)
     mat = _load_set(maternal_barcodes)
     homo = _load_set(homozygous_barcodes)

@@ -285,3 +285,134 @@ long hastio_get_barcodes(void* handle, char* buf, long cap) {
 void hastio_close(void* handle) { delete static_cast<Reader*>(handle); }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// quartering: route fastq records into 4 bins by barcode class
+// (quartering_fastq.awk semantics, see hast_tpu/pipeline/partition.py)
+// ---------------------------------------------------------------------------
+
+#include <unordered_set>
+#include <string>
+
+namespace {
+
+bool load_set(const char* path, std::unordered_set<std::string>* out) {
+  LineReader in(path);
+  if (!in.ok()) return false;
+  std::string line;
+  while (in.getline(&line)) {
+    // strip whitespace-only lines like the python loader
+    size_t a = line.find_first_not_of(" \t");
+    if (a == std::string::npos) continue;
+    out->insert(line);
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success.  stats_out: total, no, pa, ma, ho, un.
+// Unknown barcodes are reported on stderr exactly like the awk.
+int hastio_quarter(const char* fastq_path, const char* prefix,
+                   const char* pat_list, const char* mat_list,
+                   const char* homo_list, const char* log_path,
+                   long* stats_out) {
+  std::unordered_set<std::string> pat, mat, homo;
+  if (!load_set(pat_list, &pat) || !load_set(mat_list, &mat) ||
+      !load_set(homo_list, &homo))
+    return 1;
+  LineReader in(fastq_path);
+  if (!in.ok()) return 2;
+
+  std::string pfx(prefix);
+  FILE* outs[4] = {nullptr, nullptr, nullptr, nullptr};
+  const char* suffix[4] = {".nobarcode.fastq", ".paternal.fastq",
+                           ".maternal.fastq", ".homozygous.fastq"};
+  long total = 0, no = 0, pa = 0, ma = 0, ho = 0, un = 0;
+
+  FILE* log = fopen(log_path, "ab");
+  if (!log) return 3;
+  // awk sees FILENAME="-" when fed from `gzip -dc |`
+  size_t n = strlen(fastq_path);
+  bool gz = n > 3 && strcmp(fastq_path + n - 3, ".gz") == 0;
+  fprintf(log, "%s\n", gz ? "-" : fastq_path);
+
+  std::string head, seq, plus, qual;
+  std::vector<char> buf;
+  while (in.getline(&head)) {
+    if (!in.getline(&seq)) break;
+    in.getline(&plus);
+    in.getline(&qual);
+    total++;
+    // awk -F '#|/': fields split on single '#' or '/', empties kept
+    size_t s1 = head.find_first_of("#/");
+    int rt;  // 0 nobarcode, 1 pat, 2 mat, 3 homo, -1 unknown
+    std::string bc;
+    if (s1 == std::string::npos) {
+      rt = 0;  // NF == 1
+      no++;
+    } else {
+      size_t s2 = head.find_first_of("#/", s1 + 1);
+      bc = head.substr(s1 + 1, (s2 == std::string::npos ? head.size() : s2)
+                                   - s1 - 1);
+      if (bc == "0_0_0") {
+        rt = 0;
+        no++;
+      } else if (pat.count(bc)) {
+        rt = 1;
+        pa++;
+      } else if (mat.count(bc)) {
+        rt = 2;
+        ma++;
+      } else if (homo.count(bc)) {
+        rt = 3;
+        ho++;
+      } else {
+        fprintf(stderr, "ERROR : unclassify barcode : %s\n", bc.c_str());
+        un++;
+        rt = -1;
+      }
+    }
+    if (rt >= 0) {
+      if (!outs[rt]) {
+        std::string name = pfx + suffix[rt];
+        outs[rt] = fopen(name.c_str(), "wb");
+        if (!outs[rt]) {
+          fclose(log);
+          return 4;
+        }
+        setvbuf(outs[rt], nullptr, _IOFBF, 1 << 20);
+      }
+      FILE* f = outs[rt];
+      fwrite(head.data(), 1, head.size(), f);
+      fputc('\n', f);
+      fwrite(seq.data(), 1, seq.size(), f);
+      fputc('\n', f);
+      fwrite(plus.data(), 1, plus.size(), f);
+      fputc('\n', f);
+      fwrite(qual.data(), 1, qual.size(), f);
+      fputc('\n', f);
+    }
+  }
+  fprintf(log, "#Total reads                : %ld \n", total);
+  fprintf(log, "#Reads without barcode      : %ld \n", no);
+  fprintf(log, "#Paternal reads             : %ld \n", pa);
+  fprintf(log, "#Maternal reads             : %ld \n", ma);
+  fprintf(log, "#Homozygous reads           : %ld \n", ho);
+  fclose(log);
+  for (FILE* f : outs)
+    if (f) fclose(f);
+  if (stats_out) {
+    stats_out[0] = total;
+    stats_out[1] = no;
+    stats_out[2] = pa;
+    stats_out[3] = ma;
+    stats_out[4] = ho;
+    stats_out[5] = un;
+  }
+  return 0;
+}
+
+}  // extern "C"

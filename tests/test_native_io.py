@@ -55,3 +55,31 @@ def test_native_long_reads_truncate():
     batches = list(reader)
     os.unlink(path)
     assert batches[0].lengths[0] == 1024  # capped at len_cap
+
+
+def test_native_quarter_matches_python(tmp_path, monkeypatch):
+    N = _native()
+    import io
+    from hast_tpu.pipeline import partition as P
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "py").mkdir()
+    (tmp_path / "nat").mkdir()
+    args = (str(GOLD / "reads2.fq"),
+            str(GOLD / "paternal.unique.barcodes.golden"),
+            str(GOLD / "maternal.unique.barcodes.golden"),
+            str(GOLD / "homozygous.unique.barcodes.golden"))
+    monkeypatch.chdir(tmp_path / "py")
+    s1 = P.quarter_fastq(*args, err=io.StringIO())  # python path
+    monkeypatch.chdir(tmp_path / "nat")
+    s2 = N.native_quarter(args[0], "reads2.fq", *args[1:],
+                          log_path="filter_reads.log")
+    assert s1 == s2
+    for name in ("paternal", "maternal", "homozygous", "nobarcode"):
+        f = f"reads2.fq.{name}.fastq"
+        a = (tmp_path / "py" / f)
+        b = (tmp_path / "nat" / f)
+        assert a.exists() == b.exists(), name
+        if a.exists():
+            assert a.read_bytes() == b.read_bytes(), name
+    assert (tmp_path / "py" / "filter_reads.log").read_bytes() == \
+        (tmp_path / "nat" / "filter_reads.log").read_bytes()
