@@ -141,6 +141,19 @@ def sequence_batches(path: str, k: int, batch_size: int = DEFAULT_BATCH,
     """
     fmt = detect_format(path)
 
+    if fmt == "fastq":
+        # native fast path: decode + pack off the GIL
+        try:
+            from hast_tpu.io.native import NativeFastqReader
+            reader = NativeFastqReader(path, batch_size, len_cap=8192)
+            for b in reader:
+                yield ReadBatch(seqs=b.seqs, lengths=b.lengths,
+                                has_n=b.has_n, barcodes=[], n=b.n)
+            reader.close()
+            return
+        except (ImportError, RuntimeError, FileNotFoundError):
+            pass
+
     def gen():
         if fmt == "fastq":
             for _, seq, _, _ in fastq_records(path):

@@ -90,18 +90,21 @@ class NativeFastqReader:
 
     def __iter__(self) -> Iterator[NativeBatch]:
         lib, h, bs = self._lib, self._h, self._bs
+        # one reusable cap-sized buffer; each batch yields a compact
+        # copy of the used (bs, stride) region so large len_caps don't
+        # cost a full-cap allocation per batch
+        scratch = np.empty(bs * self._cap, np.uint8)
         while True:
-            seqs = np.empty(bs * self._cap, np.uint8)
             lengths = np.empty(bs, np.int32)
             has_n = np.empty(bs, np.uint8)
             bids = np.empty(bs, np.int32)
             stride = ctypes.c_int32()
-            n = lib.hastio_next_batch(h, seqs, lengths, has_n, bids,
+            n = lib.hastio_next_batch(h, scratch, lengths, has_n, bids,
                                       ctypes.byref(stride))
             if n <= 0:
                 return
             yield NativeBatch(
-                seqs[:bs * stride.value].reshape(bs, stride.value),
+                scratch[:bs * stride.value].reshape(bs, stride.value).copy(),
                 lengths, has_n.astype(bool), bids, int(n))
 
     def barcodes(self) -> list[bytes]:

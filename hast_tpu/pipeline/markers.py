@@ -104,10 +104,16 @@ def build_unshared_markers(
 
     Returns paths of the two marker files (the stage 00/01 interface).
     """
+    from hast_tpu.utils.profiling import PhaseTimer
+    timer = PhaseTimer(log=log)
     j = lambda name: os.path.join(out_dir, name)
     print("extract unique mers (TPU count tables) ...", file=log)
-    mat = count_files(maternal, k, batch_size)
-    pat = count_files(paternal, k, batch_size)
+    with timer.phase("count_maternal"):
+        mat = count_files(maternal, k, batch_size)
+    timer.add_items("count_maternal", mat.total)
+    with timer.phase("count_paternal"):
+        pat = count_files(paternal, k, batch_size)
+    timer.add_items("count_paternal", pat.total)
     print(f"  maternal: {mat.n_distinct} distinct / {mat.total} total "
           f"{k}-mers", file=log)
     print(f"  paternal: {pat.n_distinct} distinct / {pat.total} total "
@@ -138,4 +144,5 @@ def build_unshared_markers(
     n_m = mat_final.dump_mer_text(paths["maternal"])
     print(f"final paternal unique kmer is : {n_p}", file=log)
     print(f"final maternal unique kmer is : {n_m}", file=log)
+    timer.report()
     return paths
