@@ -1,10 +1,11 @@
-"""Static open-addressing k-mer membership table for TPU probing.
+"""Static 2-choice bucketized k-mer membership table for TPU probing.
 
 Replaces the reference's two ``std::unordered_set<Kmer>`` marker sets
 (/root/reference/01.classify_stlfr_reads/classify.cpp:27,196-201) with a
-single HBM-resident bucketized table: one table holds BOTH haplotypes'
-markers with a 2-bit membership payload, so the inner loop does one
-gather per k-mer instead of the reference's two hash probes.
+single HBM-resident table: one table holds BOTH haplotypes' markers
+with a 2-bit membership payload, so the inner loop does a fixed TWO
+row-gathers per k-mer (the reference does ~2 hash probes per set, 4
+chains total).
 
 Layout
 ------
@@ -16,13 +17,13 @@ payload at bits 30..31.  Empty slot = (0xFFFFFFFF, 0xFFFFFFFF), which no
 canonical k-mer can equal (poly-G is never canonical), so empty slots
 can never match a query and need no explicit emptiness test.
 
-Insertion is host-side numpy, fully vectorized in "displacement rounds":
-keys land in bucket ``hash & mask``; overflow spills to the next bucket,
-repeated until placed.  ``max_probe`` (the number of buckets any lookup
-must scan) is recorded and is small (load factor 0.5 keeps it ~2-4).
-
-Lookup is shape-static jnp with an unrolled ``max_probe`` loop — each
-round is one row-gather + 8-lane compare, so XLA keeps it on the VPU.
+Placement is 2-choice hashing: a key lives in bucket ``hash1 & mask``
+or ``hash2 & mask`` — lookups are exactly two row-gathers regardless of
+load (XLA unrolls both; no data-dependent loop).  Insertion is
+host-side numpy, fully vectorized: round 0 fills home buckets, round 1
+spills the overflow to the alternate bucket; if anything still doesn't
+fit (rare below ~0.7 load with 8-slot buckets) the table doubles and
+placement retries.
 """
 
 from __future__ import annotations
@@ -42,6 +43,7 @@ EMPTY = np.uint32(0xFFFFFFFF)
 _M1 = np.uint32(0x85EBCA6B)
 _M2 = np.uint32(0xC2B2AE35)
 _GOLD = np.uint32(0x9E3779B9)
+_GOLD2 = np.uint32(0xC2B2AE3D)
 
 
 def _mix(h, xp):
@@ -55,7 +57,7 @@ def _mix(h, xp):
 
 
 def kmer_hash(hi, lo, xp=np):
-    """uint32 hash of a (hi, lo) k-mer pair. Same bits on host & device."""
+    """uint32 hash #1 of a (hi, lo) k-mer pair (host & device agree)."""
     hi = xp.asarray(hi, xp.uint32)
     lo = xp.asarray(lo, xp.uint32)
     if xp is np:
@@ -65,13 +67,28 @@ def kmer_hash(hi, lo, xp=np):
     return _mix(h, xp)
 
 
+def kmer_hash2(hi, lo, xp=np):
+    """Independent uint32 hash #2 (the alternate bucket choice)."""
+    hi = xp.asarray(hi, xp.uint32)
+    lo = xp.asarray(lo, xp.uint32)
+    if xp is np:
+        h = ((lo ^ _GOLD2) + (hi * _M2).astype(np.uint32)).astype(np.uint32)
+    else:
+        h = (lo ^ _GOLD2) + hi * _M2
+    return _mix(h ^ xp.uint32(0x5BD1E995), xp)
+
+
+def _hash_round(rnd: int, hi, lo, xp=np):
+    return kmer_hash(hi, lo, xp) if rnd == 0 else kmer_hash2(hi, lo, xp)
+
+
 @dataclasses.dataclass
 class KmerTable:
     """Host handle for a built table (device arrays + static metadata)."""
 
     data: np.ndarray          # (n_buckets, 2*BUCKET) uint32
     n_buckets: int            # power of two
-    max_probe: int            # buckets any lookup must scan
+    max_probe: int            # hash choices scanned by lookups (== 2)
     k: int
     n_keys: int               # distinct canonical keys stored
     set_sizes: tuple[int, ...] = ()  # per-haplotype set size (for getHap)
@@ -83,6 +100,36 @@ class KmerTable:
 
 def _next_pow2(x: int) -> int:
     return 1 << max(0, (x - 1).bit_length())
+
+
+def _try_place(hi, lo, hi_packed, n_buckets: int):
+    """One 2-round placement attempt; returns table or None."""
+    mask = np.uint32(n_buckets - 1)
+    data = np.full((n_buckets, 2 * BUCKET), EMPTY, np.uint32)
+    occupancy = np.zeros(n_buckets, np.int64)
+    pending = np.arange(hi.size)
+    for rnd in (0, 1):
+        if not pending.size:
+            break
+        b = _hash_round(rnd, hi[pending], lo[pending]) & mask
+        order = np.argsort(b, kind="stable")
+        pend_s, b_s = pending[order], np.asarray(b[order], np.int64)
+        first = np.empty(b_s.size, bool)
+        if b_s.size:
+            first[0] = True
+            first[1:] = b_s[1:] != b_s[:-1]
+        grp_start = np.maximum.accumulate(
+            np.where(first, np.arange(b_s.size), 0))
+        rank = np.arange(b_s.size) - grp_start
+        free = BUCKET - occupancy[b_s]
+        place = rank < free
+        slot = occupancy[b_s] + rank
+        tgt_b, tgt_s, keys = b_s[place], slot[place], pend_s[place]
+        data[tgt_b, 2 * tgt_s] = hi_packed[keys]
+        data[tgt_b, 2 * tgt_s + 1] = lo[keys]
+        np.add.at(occupancy, b_s[place], 1)
+        pending = pend_s[~place]
+    return data if pending.size == 0 else None
 
 
 def build_table(hi, lo, payload, k: int, load: float = 0.5,
@@ -109,58 +156,33 @@ def build_table(hi, lo, payload, k: int, load: float = 0.5,
         hi, lo, payload = hi[new], lo[new], pay
     n = hi.size
     n_buckets = _next_pow2(max(1, int(np.ceil(n / (BUCKET * load)))))
-    mask = np.uint32(n_buckets - 1)
-
-    data = np.full((n_buckets, 2 * BUCKET), EMPTY, np.uint32)
-    occupancy = np.zeros(n_buckets, np.int64)
-    home = kmer_hash(hi, lo) & mask
     hi_packed = hi | (payload << PAYLOAD_SHIFT)
-
-    pending = np.arange(n)
-    r = 0
-    while pending.size:
-        b = (home[pending] + np.uint32(r)) & mask
-        order = np.argsort(b, kind="stable")
-        pend_s, b_s = pending[order], np.asarray(b[order], np.int64)
-        # rank within each bucket group
-        first = np.empty(b_s.size, bool)
-        first[0] = True
-        first[1:] = b_s[1:] != b_s[:-1]
-        grp_start = np.maximum.accumulate(
-            np.where(first, np.arange(b_s.size), 0))
-        rank = np.arange(b_s.size) - grp_start
-        free = BUCKET - occupancy[b_s]
-        place = rank < free
-        slot = occupancy[b_s] + rank
-        tgt_b, tgt_s, keys = b_s[place], slot[place], pend_s[place]
-        data[tgt_b, 2 * tgt_s] = hi_packed[keys]
-        data[tgt_b, 2 * tgt_s + 1] = lo[keys]
-        np.add.at(occupancy, b_s[place], 1)
-        pending = pend_s[~place]
-        r += 1
-        if r > n_buckets:
-            raise RuntimeError("table build failed to converge")
-    return KmerTable(data=data, n_buckets=n_buckets, max_probe=max(r, 1),
+    while True:
+        data = _try_place(hi, lo, hi_packed, n_buckets)
+        if data is not None:
+            break
+        n_buckets *= 2
+    return KmerTable(data=data, n_buckets=n_buckets, max_probe=2,
                      k=k, n_keys=n, set_sizes=tuple(set_sizes))
 
 
 @functools.partial(jax.jit, static_argnames=("max_probe",))
 def probe(data: jax.Array, q_hi: jax.Array, q_lo: jax.Array,
-          max_probe: int) -> jax.Array:
+          max_probe: int = 2) -> jax.Array:
     """Membership payload for each query k-mer (0 = not present).
 
     data: (n_buckets, 2*BUCKET) uint32;  q_hi/q_lo: any equal shape.
-    Returns int32 payloads, same shape as q_hi.
+    Returns int32 payloads, same shape as q_hi.  Exactly two
+    row-gathers per query (the 2-choice buckets).
     """
     n_buckets = data.shape[0]
     mask = jnp.uint32(n_buckets - 1)
     shape = q_hi.shape
     q_hi = q_hi.reshape(-1).astype(jnp.uint32)
     q_lo = q_lo.reshape(-1).astype(jnp.uint32)
-    h = kmer_hash(q_hi, q_lo, jnp) & mask
     res = jnp.zeros(q_hi.shape, jnp.uint32)
     for rnd in range(max_probe):
-        b = (h + jnp.uint32(rnd)) & mask
+        b = _hash_round(rnd, q_hi, q_lo, jnp) & mask
         rows = jnp.take(data, b.astype(jnp.int32), axis=0)  # (N, 2*BUCKET)
         slot_hi = rows[:, 0::2]
         slot_lo = rows[:, 1::2]
@@ -175,10 +197,9 @@ def probe_np(table: KmerTable, q_hi, q_lo):
     q_hi = np.asarray(q_hi, np.uint32).reshape(-1)
     q_lo = np.asarray(q_lo, np.uint32).reshape(-1)
     mask = np.uint32(table.n_buckets - 1)
-    h = kmer_hash(q_hi, q_lo) & mask
     res = np.zeros(q_hi.shape, np.uint32)
     for rnd in range(table.max_probe):
-        b = ((h + np.uint32(rnd)) & mask).astype(np.int64)
+        b = (_hash_round(rnd, q_hi, q_lo) & mask).astype(np.int64)
         rows = table.data[b]
         slot_hi, slot_lo = rows[:, 0::2], rows[:, 1::2]
         hit = ((slot_hi & HI_MASK) == q_hi[:, None]) & (slot_lo == q_lo[:, None])
@@ -200,7 +221,6 @@ def remove_keys(table: KmerTable, hi, lo, payload_mask: int,
     hi = np.asarray(hi, np.uint32).reshape(-1)
     lo = np.asarray(lo, np.uint32).reshape(-1)
     mask = np.uint32(table.n_buckets - 1)
-    h = kmer_hash(hi, lo) & mask
     cleared = []
     sizes = list(table.set_sizes)
     seen = set()
@@ -210,10 +230,11 @@ def remove_keys(table: KmerTable, hi, lo, payload_mask: int,
             continue
         seen.add(key)
         for rnd in range(table.max_probe):
-            b = int((h[i] + np.uint32(rnd)) & mask)
+            b = int(_hash_round(rnd, hi[i:i + 1], lo[i:i + 1])[0] & mask)
             row = table.data[b]
             for s in range(BUCKET):
-                if (int(row[2 * s]) & int(HI_MASK)) == key[0] and int(row[2 * s + 1]) == key[1]:
+                if (int(row[2 * s]) & int(HI_MASK)) == key[0] and \
+                        int(row[2 * s + 1]) == key[1]:
                     pay = int(row[2 * s]) >> int(PAYLOAD_SHIFT)
                     bits = pay & payload_mask
                     if bits:

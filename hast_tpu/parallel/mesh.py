@@ -55,13 +55,12 @@ def shard_table(mesh: Mesh, table: H.KmerTable) -> jax.Array:
 
 def _probe_local(local_table, q_hi, q_lo, n_buckets_global, max_probe,
                  tp_index, buckets_per_shard):
-    """Probe only the keys whose probe chain enters this shard."""
+    """Probe only the keys whose 2-choice buckets live on this shard."""
     mask = jnp.uint32(n_buckets_global - 1)
-    h = H.kmer_hash(q_hi, q_lo, jnp) & mask
     res = jnp.zeros(q_hi.shape, jnp.uint32)
     lo_bucket = tp_index * buckets_per_shard
     for rnd in range(max_probe):
-        b = (h + jnp.uint32(rnd)) & mask
+        b = H._hash_round(rnd, q_hi, q_lo, jnp) & mask
         local_b = b.astype(jnp.int32) - lo_bucket
         owned = (local_b >= 0) & (local_b < buckets_per_shard)
         safe_b = jnp.where(owned, local_b, 0)

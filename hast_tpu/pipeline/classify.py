@@ -65,7 +65,7 @@ def load_marker_table(hap0_path: str, hap1_path: str,
     cache_path = hap0_path + ".probetable.npz"
     key = tuple(
         (os.path.getsize(p), int(os.path.getmtime(p)))
-        for p in (hap0_path, hap1_path)) + (load,)
+        for p in (hap0_path, hap1_path)) + (load, 2.0)  # 2.0 = table format
     if snapshot and os.path.exists(cache_path):
         try:
             z = np.load(cache_path, allow_pickle=False)
