@@ -54,6 +54,44 @@ def chunk_sorted_kmers(seqs_u8: jax.Array, lengths: jax.Array, k: int):
     return hi, lo
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def count_kernel_multi(packed: jax.Array, good_packed: jax.Array,
+                       lengths: jax.Array, k: int):
+    """Super-batched sorted-kmer extraction over 2-bit packed reads.
+
+    packed: (S, B, L/4) uint8 2-bit codes; good_packed: (S, B, L/8)
+    uint8 bitmask of ACGT-validity per base (bit j of byte m = base
+    m*8+j); lengths: (S, B).  Returns (S, B*(L-k+1)) hi/lo sorted per
+    slice — one device interaction covers S batches.
+    """
+
+    def one(args):
+        p, g, lens = args
+        b, lp = p.shape
+        shifts = jnp.arange(4, dtype=jnp.int32) * 2
+        codes = ((p.astype(jnp.int32)[:, :, None] >> shifts[None, None, :])
+                 & 3).reshape(b, lp * 4)
+        bit = jnp.arange(8, dtype=jnp.int32)
+        good = (((g.astype(jnp.int32)[:, :, None] >> bit[None, None, :])
+                 & 1) == 1).reshape(b, lp * 4)
+        hi, lo = E.canonical_kmers(codes, k)
+        valid = E.window_valid(good, lens, k)
+        hi = jnp.where(valid, hi, jnp.uint32(0xFFFFFFFF)).reshape(-1)
+        lo = jnp.where(valid, lo, jnp.uint32(0xFFFFFFFF)).reshape(-1)
+        return jax.lax.sort((hi, lo), num_keys=2)
+
+    return jax.lax.map(one, (packed, good_packed, lengths))
+
+
+def pack_good_np(seqs_u8: np.ndarray) -> np.ndarray:
+    """(…, L) ASCII -> (…, L/8) uint8 ACGT-validity bitmask."""
+    good = _ACGT[seqs_u8].astype(np.uint8)
+    out = good[..., 0::8]
+    for j in range(1, 8):
+        out = out | (good[..., j::8] << np.uint8(j))
+    return out
+
+
 def _rle_sorted(words: np.ndarray, weights: np.ndarray | None = None):
     """Run-length encode a sorted uint64 array -> (unique, counts)."""
     if words.size == 0:
@@ -190,18 +228,51 @@ class Counter:
         return CountTable(u, c, self.k)
 
 
-def count_batches(batches: Iterable, k: int) -> CountTable:
-    """Count canonical k-mers over an iterable of ReadBatches."""
+def count_batches(batches: Iterable, k: int,
+                  super_batch: int = 8) -> CountTable:
+    """Count canonical k-mers over an iterable of ReadBatches.
+
+    Batches group into super-batches so each device interaction
+    (packed upload, dispatch, fetch) covers super_batch batches —
+    mirrors the classify pipeline's latency hiding.
+    """
     counter = Counter(k)
+    S = super_batch
+    buf: list = []
     pending = None
-    for batch in batches:
-        hi, lo = chunk_sorted_kmers(jnp.asarray(batch.seqs),
-                                    jnp.asarray(batch.lengths), k)
+
+    def drain(p):
+        rhi = np.asarray(p[0])
+        rlo = np.asarray(p[1])
+        for s in range(p[2]):
+            counter.add_sorted_chunk(rhi[s], rlo[s])
+
+    def flush():
+        nonlocal pending, buf
+        if not buf:
+            return
+        B = buf[0].seqs.shape[0]
+        L = max(b.seqs.shape[1] for b in buf)
+        seqs = np.zeros((S, B, L), np.uint8)
+        lengths = np.zeros((S, B), np.int32)
+        for s, b in enumerate(buf):
+            seqs[s, :, :b.seqs.shape[1]] = b.seqs
+            lengths[s] = b.lengths
+        from hast_tpu.pipeline.classify import pack_codes_np
+        res = count_kernel_multi(jnp.asarray(pack_codes_np(seqs)),
+                                 jnp.asarray(pack_good_np(seqs)),
+                                 jnp.asarray(lengths), k)
+        n_used = len(buf)
+        buf = []
         if pending is not None:
-            counter.add_sorted_chunk(np.asarray(pending[0]),
-                                     np.asarray(pending[1]))
-        pending = (hi, lo)
+            drain(pending)
+        pending = (res[0], res[1], n_used)
+
+    for batch in batches:
+        buf.append(batch)
+        if len(buf) >= S:
+            flush()
+    flush()
     if pending is not None:
-        counter.add_sorted_chunk(np.asarray(pending[0]),
-                                 np.asarray(pending[1]))
+        drain(pending)
     return counter.finalize()
