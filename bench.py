@@ -24,7 +24,7 @@ import time
 CACHE = pathlib.Path(os.environ.get("HAST_BENCH_CACHE",
                                     "/tmp/hast_bench_cache"))
 N_MARKERS = int(os.environ.get("HAST_BENCH_MARKERS", 1_000_000))
-N_READS = int(os.environ.get("HAST_BENCH_READS", 400_000))
+N_READS = int(os.environ.get("HAST_BENCH_READS", 1_000_000))
 K = 21
 
 

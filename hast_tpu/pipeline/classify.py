@@ -287,7 +287,7 @@ def get_hap(barcode: bytes, c0: int, c1: int, size0: int, size1: int,
 def classify_fastqs(table: H.KmerTable, paths: Iterable[str],
                     batch_size: int = FQ.DEFAULT_BATCH,
                     tally: BarcodeTally | None = None,
-                    super_batch: int = 8,
+                    super_batch: int = 16,
                     engine: str = "auto") -> BarcodeTally:
     """Stream fastq files through the device vote kernel into a tally.
 
