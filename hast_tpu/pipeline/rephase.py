@@ -204,43 +204,6 @@ def _build_segment_table(hap_files: list[str]):
     return table
 
 
-def _segment_hits(table: H.KmerTable, seq: bytes,
-                  seg_len: int = 4096) -> tuple[int, int]:
-    """Number of k-mer substring positions of seq hitting each hap set.
-
-    Non-uppercase-ACGT windows can never match (string-compare parity).
-    Long sequences stream through the device in overlapping chunks.
-    """
-    k = table.k
-    if len(seq) < k:
-        return 0, 0
-    h0 = h1 = 0
-    step = seg_len - (k - 1)
-    arr = np.frombuffer(seq, np.uint8)
-    for p in range(0, max(1, len(seq) - (k - 1)), step):
-        chunk = arr[p:p + seg_len]
-        L = max(len(chunk), k)
-        buf = np.zeros((1, L), np.uint8)
-        buf[0, :len(chunk)] = chunk
-        codes = E.encode_np(buf)
-        hi, lo = E.canonical_kmers_np(codes, k)
-        good = _UPPER_ACGT[buf]
-        nwin = len(chunk) - k + 1
-        if nwin <= 0:
-            continue
-        ok = np.ones(hi.shape[1], bool)
-        bad = ~good[0]
-        csum = np.cumsum(bad)
-        win_bad = csum[k - 1:] - np.concatenate([[0], csum[:-k]])
-        ok[:len(win_bad)] &= win_bad[:ok.size] == 0
-        ok[nwin:] = False
-        pay = H.probe_np(table, hi[0], lo[0])
-        pay = np.where(ok, pay, 0)
-        h0 += int((pay & 1).sum())
-        h1 += int(((pay >> 1) & 1).sum())
-    return h0, h1
-
-
 def _segment_hits_batch(table: H.KmerTable, seqs: list[bytes]):
     """Vectorized (device) version of _segment_hits over many sequences."""
     k = table.k

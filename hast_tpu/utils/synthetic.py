@@ -54,7 +54,6 @@ def make_marker_files(seed: int, n_markers: int, k: int,
     necessarily canonical), matching jellyfish dump text.
     """
     rng = np.random.default_rng(seed)
-    seen: set[bytes] = set()
     sets: list[list[bytes]] = [[], []]
     from hast_tpu.ops.encode import str_to_kmer
     canon_seen: set[tuple[int, int]] = set()
@@ -65,7 +64,6 @@ def make_marker_files(seed: int, n_markers: int, k: int,
             if c in canon_seen:
                 continue
             canon_seen.add(c)
-            seen.add(m)
             sets[h].append(m)
     if plant_adaptor:
         from hast_tpu.pipeline.classify import ADAPTOR_F, ADAPTOR_R
