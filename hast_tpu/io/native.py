@@ -52,6 +52,8 @@ def get_lib():
     lib.hastio_get_barcodes.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                         ctypes.c_long]
     lib.hastio_close.argtypes = [ctypes.c_void_p]
+    lib.hastio_truncated.restype = ctypes.c_long
+    lib.hastio_truncated.argtypes = [ctypes.c_void_p]
     lib.hastio_quarter.restype = ctypes.c_int
     lib.hastio_quarter.argtypes = [ctypes.c_char_p] * 6 + [
         ctypes.POINTER(ctypes.c_long)]
@@ -103,6 +105,10 @@ class NativeFastqReader:
                                       ctypes.byref(stride))
             if n <= 0:
                 return
+            if lib.hastio_truncated(h):
+                raise RuntimeError(
+                    "reads longer than len_cap encountered; rerun with a "
+                    "larger len_cap or engine='python'")
             yield NativeBatch(
                 scratch[:bs * stride.value].reshape(bs, stride.value).copy(),
                 lengths, has_n.astype(bool), bids, int(n))

@@ -105,6 +105,7 @@ struct Reader {
 
   std::unordered_map<std::string, int32_t> barcode_ids;
   std::vector<std::string> barcode_order;
+  long truncated = 0;  // reads longer than len_cap (silently capped)
 
   // double-buffered prefetch
   std::thread worker;
@@ -177,7 +178,10 @@ struct Reader {
     for (int i = 0; i < b->n; i++) {
       const std::string& s = seqs[i];
       int L = static_cast<int>(s.size());
-      if (L > max_len) L = max_len;
+      if (L > max_len) {
+        L = max_len;
+        truncated++;
+      }
       memcpy(&b->seqs[static_cast<size_t>(i) * max_len], s.data(), L);
       b->lengths[i] = L;
       b->has_n[i] = memchr(s.data(), 'N', s.size()) != nullptr;
@@ -263,6 +267,11 @@ long hastio_next_batch(void* handle, uint8_t* seqs, int32_t* lengths,
 
 long hastio_num_barcodes(void* handle) {
   return static_cast<Reader*>(handle)->barcode_order.size();
+}
+
+// reads whose sequence exceeded len_cap so far (capped, not dropped)
+long hastio_truncated(void* handle) {
+  return static_cast<Reader*>(handle)->truncated;
 }
 
 // newline-joined barcode strings in id order; returns bytes written

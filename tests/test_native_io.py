@@ -52,9 +52,19 @@ def test_native_long_reads_truncate():
         f.write(b"@r#1_2_3/1\n" + b"A" * 3000 + b"\n+\n" + b"F" * 3000 + b"\n")
         path = f.name
     reader = N.NativeFastqReader(path, batch_size=4, len_cap=1024)
-    batches = list(reader)
+    with pytest.raises(RuntimeError):
+        list(reader)  # truncation now fails fast instead of silently
     os.unlink(path)
-    assert batches[0].lengths[0] == 1024  # capped at len_cap
+    # a large-enough cap handles the same read fine
+    with tempfile.NamedTemporaryFile("wb", suffix=".fq",
+                                     delete=False) as f:
+        f.write(b"@r#1_2_3/1\n" + b"A" * 3000 + b"\n+\n"
+                + b"F" * 3000 + b"\n")
+        path2 = f.name
+    reader3 = N.NativeFastqReader(path2, batch_size=4, len_cap=4096)
+    batches = list(reader3)
+    os.unlink(path2)
+    assert batches[0].lengths[0] == 3000
 
 
 def test_native_quarter_matches_python(tmp_path, monkeypatch):
