@@ -64,8 +64,7 @@ def _add_classify(sub):
     p.add_argument("--batch-size", type=int, default=1 << 14)
     p.add_argument("--output", default="-")
     p.add_argument("--mesh", default=None, metavar="DPxTP",
-                   help="shard over local devices, e.g. 4x2 "
-                        "(table over tp, reads over dp)")
+                   help="shard over local devices: DPxTP (e.g. 4x2; table over tp, reads over dp) or 'auto'")
 
     def run(a):
         from hast_tpu.pipeline import classify as C
@@ -76,11 +75,17 @@ def _add_classify(sub):
         if a.adaptor_r is not None:
             kw["adaptor_r"] = a.adaptor_r
         if a.mesh:
-            from hast_tpu.parallel.mesh import make_mesh
-            dp, tp = (int(x) for x in a.mesh.lower().split("x"))
-            mesh = make_mesh(dp * tp, tp=tp)
+            import jax
+            from hast_tpu.parallel.mesh import make_mesh, choose_tp
             table = C.load_marker_table(a.hap0, a.hap1)
             C.erase_adaptors(table, **kw)
+            if a.mesh == "auto":
+                n = len(jax.devices())
+                tp = choose_tp(table.data.nbytes, n)
+                dp = n // tp
+            else:
+                dp, tp = (int(x) for x in a.mesh.lower().split("x"))
+            mesh = make_mesh(dp * tp, tp=tp)
             tally = C.classify_fastqs_mesh(mesh, table, a.read,
                                            batch_size=a.batch_size)
             C.write_phased_barcodes(tally, table, out, a.weight0, a.weight1)

@@ -42,6 +42,23 @@ def make_mesh(n_devices: int | None = None, tp: int = 1,
     return Mesh(dev, ("dp", "tp"))
 
 
+def choose_tp(table_bytes: int, n_devices: int,
+              hbm_budget_bytes: int | None = None) -> int:
+    """Replicated-vs-sharded probe autoswitch (SURVEY §7.2-5).
+
+    Replicating the table on every chip is fastest (no tp collectives);
+    shard over tp only when the table would eat too much of each
+    device's HBM.  Returns the smallest power-of-two tp that fits the
+    budget (default: 25% of a v5e's 16 GiB).
+    """
+    if hbm_budget_bytes is None:
+        hbm_budget_bytes = 4 << 30
+    tp = 1
+    while tp < n_devices and table_bytes // tp > hbm_budget_bytes:
+        tp *= 2
+    return tp
+
+
 def shard_table(mesh: Mesh, table: H.KmerTable) -> jax.Array:
     """Place the (n_buckets, 2*BUCKET) table hash-sharded over tp.
 
