@@ -251,10 +251,7 @@ def _add_classify_segments(sub):
 
     def run(a):
         from hast_tpu.pipeline import rephase as R
-        import io
-        out = io.TextIOWrapper(sys.stdout.buffer)
-        R.classify_segments(a.hap, a.read, out, a.format)
-        out.flush()
+        R.classify_segments(a.hap, a.read, _stdout_text(), a.format)
     p.set_defaults(func=run)
 
 
@@ -356,9 +353,21 @@ def _add_vcfqc(sub):
     p.set_defaults(func=run_hd)
 
 
+class _StdoutText:
+    """Text shim over sys.stdout.buffer that never closes it."""
+
+    def write(self, s):
+        sys.stdout.buffer.write(s.encode())
+
+    def flush(self):
+        try:
+            sys.stdout.buffer.flush()
+        except Exception:
+            pass
+
+
 def _stdout_text():
-    import io
-    return io.TextIOWrapper(sys.stdout.buffer, write_through=True)
+    return _StdoutText()
 
 
 def _add_heatalign(sub):

@@ -1,0 +1,81 @@
+"""Smoke tests: every CLI subcommand parses and runs on tiny inputs."""
+
+import contextlib
+import io
+import pathlib
+import sys
+
+import pytest
+
+from hast_tpu.cli import main
+
+GOLD = pathlib.Path(__file__).parent / "golden"
+
+
+def run_cli(argv, stdout_bytes=False):
+    buf = io.BytesIO()
+
+    class W:
+        buffer = buf
+
+        def write(self, s):
+            buf.write(s.encode())
+
+        def flush(self):
+            pass
+
+    old = sys.stdout
+    sys.stdout = W()
+    try:
+        main(argv)
+    finally:
+        sys.stdout = old
+    return buf.getvalue()
+
+
+def test_help_all_subcommands():
+    import argparse
+    for cmd in ("build-markers", "classify", "classify-reads",
+                "merge-results", "prepare-10x", "assemble", "mkoutput",
+                "classify-segments", "run", "mark-library", "classify-hic",
+                "vcf-snp-only", "vcf-calc-hd", "draw-heatalign", "get-n",
+                "check-genes", "plot-bounds", "filter-fastq-by-barcodes"):
+        with pytest.raises(SystemExit):
+            main([cmd, "--help"])
+
+
+def test_vcf_subcommands_run():
+    child = str(GOLD / "vcfqc" / "child.vcf")
+    out = run_cli(["vcf-snp-info", child])
+    assert out.count(b"\n") > 100
+
+
+def test_mark_library_cli():
+    fq = GOLD / "stage01" / "reads2.fq"
+    out = run_cli(["mark-library", str(fq), "3"])
+    assert b"#lib3_" in out
+
+
+def test_filter_barcodes_cli(tmp_path):
+    bl = tmp_path / "list.txt"
+    # grab a real barcode from the golden splits
+    bc = (GOLD / "stage01" / "paternal.unique.barcodes.golden"
+          ).read_bytes().splitlines()[0]
+    bl.write_bytes(bc + b"\n")
+    out = run_cli(["filter-fastq-by-barcodes",
+                   str(GOLD / "stage01" / "reads2.fq"), str(bl)])
+    assert bc in out
+
+
+def test_heatalign_cli():
+    ha = GOLD / "heatalign"
+    out = run_cli(["draw-heatalign", "1100000",
+                   "-i", str(ha / "H1.align.txt"), "--preset", "KIR"])
+    assert out.startswith(b"<?xml") and b"</svg>" in out
+
+
+def test_checkgenes_cli():
+    ha = GOLD / "heatalign"
+    out = run_cli(["check-genes", str(ha / "H1.align.txt"),
+                   str(ha / "cg.genes.txt")])
+    assert out.count(b"\n") == 3  # g1 deduped
