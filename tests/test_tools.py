@@ -80,3 +80,24 @@ def test_hic_get_infos_golden():
     assert name == "x" and flag == 16
     assert total == 51 and exact == 51 - 3
     assert abs(idy - (1 - 3 / 51)) < 1e-12
+
+
+def test_filter_fq_by_barcodes_matches_awk(tmp_path):
+    gold = pathlib.Path(__file__).parent / "golden" / "stage01"
+    barcodes = tmp_path / "keep.txt"
+    names = (gold / "paternal.unique.barcodes.golden").read_bytes()
+    barcodes.write_bytes(b"\n".join(names.splitlines()[:40]) + b"\n")
+    ref = subprocess.run(
+        ["awk", "-F", "#|/", "-f",
+         "/root/reference/01.classify_stlfr_reads/filter_fq_by_barcodes.awk",
+         str(barcodes), str(gold / "reads2.fq")],
+        capture_output=True, check=True, cwd=tmp_path).stdout
+    ref_log = (tmp_path / "filter_reads.log").read_bytes()
+    import io as _io
+    from hast_tpu.pipeline.partition import filter_fastq_by_barcodes
+    out = _io.BytesIO()
+    log2 = tmp_path / "ours.log"
+    filter_fastq_by_barcodes(str(gold / "reads2.fq"), str(barcodes), out,
+                             log_path=str(log2))
+    assert out.getvalue() == ref
+    assert log2.read_bytes() == ref_log
