@@ -37,6 +37,10 @@ def _add_build_markers(sub):
     p.add_argument("--p-upper", type=int, default=33)
     p.add_argument("--out-dir", default=".")
     p.add_argument("--batch-size", type=int, default=1 << 14)
+    p.add_argument("--thread", type=int, default=None,
+                   help="accepted for reference compatibility (unused)")
+    p.add_argument("--memory", type=int, default=None,
+                   help="accepted for reference compatibility (unused)")
 
     def run(a):
         from hast_tpu.pipeline import markers as M
@@ -62,6 +66,8 @@ def _add_classify(sub):
     p.add_argument("--adaptor_f", default=None)
     p.add_argument("--adaptor_r", default=None)
     p.add_argument("--batch-size", type=int, default=1 << 14)
+    p.add_argument("--thread", type=int, default=None,
+                   help="accepted for reference compatibility (unused)")
     p.add_argument("--output", default="-")
     p.add_argument("--mesh", default=None, metavar="DPxTP",
                    help="shard over local devices: DPxTP (e.g. 4x2; table over tp, reads over dp) or 'auto'")
@@ -107,6 +113,10 @@ def _add_classify_reads(sub):
     p.add_argument("--adaptor_r", default=None)
     p.add_argument("--workdir", default=".")
     p.add_argument("--batch-size", type=int, default=1 << 14)
+    p.add_argument("--thread", type=int, default=None,
+                   help="accepted for reference compatibility (unused)")
+    p.add_argument("--format", choices=("fasta", "fastq"), default="fastq",
+                   help="accepted for reference compatibility")
 
     def run(a):
         from hast_tpu.pipeline import classify as C
@@ -221,6 +231,8 @@ def _add_mkoutput(sub):
     p.add_argument("--paternal_mer")
     p.add_argument("--maternal_mer")
     p.add_argument("--prefix", default="output")
+    p.add_argument("--thread", type=int, default=None,
+                   help="accepted for reference compatibility (unused)")
     p.add_argument("--prefer", choices=("paternal", "maternal"),
                    help="default: whichever mer flag came first "
                         "(reference order rule); fallback paternal")
@@ -248,6 +260,8 @@ def _add_classify_segments(sub):
     p.add_argument("--hap", action="append", required=True)
     p.add_argument("--read", action="append", required=True)
     p.add_argument("--format", choices=("fasta", "fastq"), default="fasta")
+    p.add_argument("--thread", type=int, default=None,
+                   help="accepted for reference compatibility (unused)")
 
     def run(a):
         from hast_tpu.pipeline import rephase as R
