@@ -61,6 +61,10 @@ def fastq_records(path: str) -> Iterator[tuple[bytes, bytes, bytes, bytes]]:
             if not head:
                 return
             seq = f.readline()
+            if not seq:
+                # truncated record at EOF: drop it (the reference
+                # crashes on the empty read; the native reader drops)
+                return
             plus = f.readline()
             qual = f.readline()
             yield (head.rstrip(b"\r\n"), seq.rstrip(b"\r\n"),
