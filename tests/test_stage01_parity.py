@@ -76,3 +76,11 @@ def test_edge_marker_files_bit_identical():
     C.run_classify(str(GOLD / "edge.hap0.mer"), str(GOLD / "edge.hap1.mer"),
                    [str(GOLD / "edge.fq")], out, w0=1.04, batch_size=4096)
     assert out.getvalue() == (GOLD / "edge.phased.golden").read_bytes()
+
+
+def test_k31_bit_identical():
+    """Maximum supported k (31): hi word uses all 30 payload-free bits."""
+    out = io.BytesIO()
+    C.run_classify(str(GOLD / "k31.hap0.mer"), str(GOLD / "k31.hap1.mer"),
+                   [str(GOLD / "k31.fq")], out, w0=1.04, batch_size=2048)
+    assert out.getvalue() == (GOLD / "k31.phased.golden").read_bytes()
