@@ -84,3 +84,11 @@ def test_k31_bit_identical():
     C.run_classify(str(GOLD / "k31.hap0.mer"), str(GOLD / "k31.hap1.mer"),
                    [str(GOLD / "k31.fq")], out, w0=1.04, batch_size=2048)
     assert out.getvalue() == (GOLD / "k31.phased.golden").read_bytes()
+
+
+def test_k15_bit_identical():
+    """Small k (15): hi word is all payload, lo carries the whole kmer."""
+    out = io.BytesIO()
+    C.run_classify(str(GOLD / "k15.hap0.mer"), str(GOLD / "k15.hap1.mer"),
+                   [str(GOLD / "k15.fq")], out, w0=1.04, batch_size=2048)
+    assert out.getvalue() == (GOLD / "k15.phased.golden").read_bytes()
