@@ -25,6 +25,15 @@ import os
 import sys
 
 
+def _split_paths(values):
+    """Reference drivers accept quoted whitespace-separated file lists
+    (HAST.sh:23-37); flatten those in every repeatable path flag."""
+    out = []
+    for v in values or []:
+        out.extend(v.split())
+    return out
+
+
 def _add_build_markers(sub):
     p = sub.add_parser("build-markers", help="stage 00: unique marker mers")
     p.add_argument("--paternal", action="append", required=True)
@@ -48,7 +57,8 @@ def _add_build_markers(sub):
         with step("00_markers", a.out_dir) as todo:
             if todo:
                 M.build_unshared_markers(
-                    a.paternal, a.maternal, a.out_dir, k=a.mer,
+                    _split_paths(a.paternal), _split_paths(a.maternal),
+                    a.out_dir, k=a.mer,
                     auto_bounds=a.auto_bounds,
                     p_lower=a.p_lower, p_upper=a.p_upper,
                     m_lower=a.m_lower, m_upper=a.m_upper,
@@ -96,8 +106,9 @@ def _add_classify(sub):
                                            batch_size=a.batch_size)
             C.write_phased_barcodes(tally, table, out, a.weight0, a.weight1)
         else:
-            C.run_classify(a.hap0, a.hap1, a.read, out, w0=a.weight0,
-                           w1=a.weight1, batch_size=a.batch_size, **kw)
+            C.run_classify(a.hap0, a.hap1, _split_paths(a.read), out,
+                           w0=a.weight0, w1=a.weight1,
+                           batch_size=a.batch_size, **kw)
         if out is not sys.stdout.buffer:
             out.close()
     p.set_defaults(func=run)
@@ -128,12 +139,13 @@ def _add_classify_reads(sub):
             kw["adaptor_f"] = a.adaptor_f
         if a.adaptor_r is not None:
             kw["adaptor_r"] = a.adaptor_r
+        filial = _split_paths(a.filial)
         phased = os.path.join(wd, "phased.barcodes")
         with step("9", wd) as todo:
             if todo:
                 # driver parity: weight0=1.04 (classify_stlfr_reads.sh:148)
                 with open(phased, "wb") as out:
-                    C.run_classify(a.paternal_mer, a.maternal_mer, a.filial,
+                    C.run_classify(a.paternal_mer, a.maternal_mer, filial,
                                    out, w0=1.04,
                                    batch_size=a.batch_size, **kw)
         with step("10", wd) as todo:
@@ -148,7 +160,7 @@ def _add_classify_reads(sub):
                 cwd = os.getcwd()
                 os.chdir(wd)
                 try:
-                    for x in a.filial:
+                    for x in filial:
                         x = x if os.path.isabs(x) else os.path.join(cwd, x)
                         P.quarter_fastq(
                             x, "paternal.unique.barcodes",
@@ -284,8 +296,10 @@ def _add_run(sub):
     def run(a):
         from hast_tpu.models.trio import TrioBinningPipeline
         TrioBinningPipeline(
-            paternal=a.paternal, maternal=a.maternal,
-            read1=a.read1, read2=a.read2, supernova=a.supernova,
+            paternal=_split_paths(a.paternal),
+            maternal=_split_paths(a.maternal),
+            read1=_split_paths(a.read1), read2=_split_paths(a.read2),
+            supernova=a.supernova,
             threads=a.thread, memory_gb=a.memory,
             workdir=a.workdir).run()
     p.set_defaults(func=run)
