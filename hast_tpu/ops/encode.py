@@ -194,3 +194,17 @@ def load_mer_file(path: str, k_expect: int | None = None):
     arr = np.frombuffer(b"".join(lines), np.uint8).reshape(len(lines), k)
     hi, lo = canonical_kmers_np(encode_np(arr), k)
     return hi[:, 0], lo[:, 0], k
+
+
+def pack_codes_np(seqs_u8: np.ndarray) -> np.ndarray:
+    """(…, L) ASCII -> (…, L/4) 2-bit packed uint8, host side.
+
+    Replicates the reference encoding on every byte ((c>>1)&3, so
+    IUPAC garbage packs to the same garbage); L must be a multiple of
+    4 (batch strides are multiples of 128).  Shrinks host->device
+    transfers 4x.
+    """
+    codes = (seqs_u8 >> 1) & np.uint8(3)
+    return (codes[..., 0::4] | (codes[..., 1::4] << np.uint8(2))
+            | (codes[..., 2::4] << np.uint8(4))
+            | (codes[..., 3::4] << np.uint8(6)))

@@ -258,8 +258,7 @@ def count_batches(batches: Iterable, k: int,
         for s, b in enumerate(buf):
             seqs[s, :, :b.seqs.shape[1]] = b.seqs
             lengths[s] = b.lengths
-        from hast_tpu.pipeline.classify import pack_codes_np
-        res = count_kernel_multi(jnp.asarray(pack_codes_np(seqs)),
+        res = count_kernel_multi(jnp.asarray(E.pack_codes_np(seqs)),
                                  jnp.asarray(pack_good_np(seqs)),
                                  jnp.asarray(lengths), k)
         n_used = len(buf)

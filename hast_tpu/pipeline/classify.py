@@ -167,18 +167,7 @@ def vote_kernel_multi(data: jax.Array, seqs_u8: jax.Array,
     return jax.lax.map(one, (seqs_u8, lengths))
 
 
-def pack_codes_np(seqs_u8: np.ndarray) -> np.ndarray:
-    """(…, L) ASCII -> (…, L/4) 2-bit packed uint8, host side.
-
-    Replicates the reference encoding on every byte ((c>>1)&3, so
-    IUPAC garbage packs to the same garbage); L must be a multiple of
-    4 (batch strides are multiples of 128).  Shrinks host->device
-    transfers 4x.
-    """
-    codes = (seqs_u8 >> 1) & np.uint8(3)
-    return (codes[..., 0::4] | (codes[..., 1::4] << np.uint8(2))
-            | (codes[..., 2::4] << np.uint8(4))
-            | (codes[..., 3::4] << np.uint8(6)))
+pack_codes_np = E.pack_codes_np  # host packing lives with the codec
 
 
 @functools.partial(jax.jit, static_argnames=("k", "max_probe"))
