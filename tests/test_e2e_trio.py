@@ -69,3 +69,16 @@ def test_checkpoint_markers_written(pipeline_run):
     assert (d00 / "step_00_markers_done").exists()
     for s in ("9", "10", "11"):
         assert (d01 / f"step_{s}_done").exists()
+
+
+def test_rerun_skips_completed_steps(pipeline_run):
+    """step_NN_done markers make reruns no-ops (reference resume
+    contract, classify_stlfr_reads.sh:146-190)."""
+    import os
+    _, d01 = pipeline_run
+    phased = d01 / "phased.barcodes"
+    before = os.stat(phased).st_mtime_ns
+    cli_main(["classify-reads",
+              "--paternal_mer", "unused.mer", "--maternal_mer", "unused.mer",
+              "--filial", "also-unused.fq", "--workdir", str(d01)])
+    assert os.stat(phased).st_mtime_ns == before
