@@ -54,6 +54,12 @@ def _add_build_markers(sub):
     def run(a):
         from hast_tpu.pipeline import markers as M
         from hast_tpu.utils.checkpoint import step
+        # reference sanity bounds (build_unshared_kmers.sh:145-152)
+        if a.mer < 11 or a.mer > 31:
+            sys.exit("ERROR : arguments invalid ... exit!!! (11 <= mer <= 31)")
+        if not (1 <= a.m_lower and a.m_upper <= 100000000
+                and 1 <= a.p_lower and a.p_upper <= 100000000):
+            sys.exit("ERROR : arguments invalid ... exit!!! ")
         with step("00_markers", a.out_dir) as todo:
             if todo:
                 M.build_unshared_markers(

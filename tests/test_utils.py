@@ -1,0 +1,40 @@
+"""Unit tests for the small utility subsystems."""
+
+import io
+
+from hast_tpu.utils.checkpoint import step, step_done, mark_done
+from hast_tpu.utils.profiling import PhaseTimer
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    wd = str(tmp_path)
+    assert not step_done("x", wd)
+    with step("x", wd) as todo:
+        assert todo
+    assert step_done("x", wd)
+    ran = False
+    with step("x", wd) as todo:
+        if todo:
+            ran = True
+    assert not ran
+
+
+def test_checkpoint_not_marked_on_error(tmp_path):
+    wd = str(tmp_path)
+    try:
+        with step("y", wd) as todo:
+            assert todo
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert not step_done("y", wd)
+
+
+def test_phase_timer_report():
+    log = io.StringIO()
+    t = PhaseTimer(log=log)
+    with t.phase("work", items=100):
+        pass
+    rep = t.report()
+    assert "work" in rep and rep["work"]["items"] == 100
+    assert "work" in log.getvalue()
