@@ -57,8 +57,37 @@ def get_lib():
     lib.hastio_quarter.restype = ctypes.c_int
     lib.hastio_quarter.argtypes = [ctypes.c_char_p] * 6 + [
         ctypes.POINTER(ctypes.c_long)]
+    lib.hastio_format_phased.restype = ctypes.c_long
+    lib.hastio_format_phased.argtypes = [
+        np.ctypeslib.ndpointer(dtype=None, flags="C_CONTIGUOUS"),
+        ctypes.c_long, ctypes.c_int,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ctypes.c_long]
     _lib = lib
     return _lib
+
+
+def format_phased(bcs_s: np.ndarray, hap: np.ndarray, c0: np.ndarray,
+                  c1: np.ndarray) -> bytes | None:
+    """Bulk-format sorted phased.barcodes rows; None if lib unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = bcs_s.shape[0]
+    w = bcs_s.dtype.itemsize
+    cap = n * (w + 3 * 21 + 4) + 16
+    out = np.empty(cap, np.uint8)
+    got = lib.hastio_format_phased(
+        np.ascontiguousarray(bcs_s), n, w,
+        np.ascontiguousarray(hap, np.int32),
+        np.ascontiguousarray(c0, np.int64),
+        np.ascontiguousarray(c1, np.int64), out, cap)
+    if got < 0:
+        return None
+    return out[:got].tobytes()
 
 
 class NativeBatch:

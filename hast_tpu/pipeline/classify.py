@@ -64,8 +64,9 @@ def load_marker_table(hap0_path: str, hap1_path: str,
     import os
     cache_path = hap0_path + ".probetable.npz"
     key = tuple(
-        (os.path.getsize(p), int(os.path.getmtime(p)))
-        for p in (hap0_path, hap1_path)) + (load, 2.0)  # 2.0 = table format
+        float(x) for p in (hap0_path, hap1_path)
+        for x in (os.path.getsize(p), int(os.path.getmtime(p)))
+    ) + (load, 2.0)  # 2.0 = table format version
     if snapshot and os.path.exists(cache_path):
         try:
             z = np.load(cache_path, allow_pickle=False)
@@ -84,8 +85,10 @@ def load_marker_table(hap0_path: str, hap1_path: str,
     h0_hi, h0_lo, k = E.load_mer_file(hap0_path)
     h1_hi, h1_lo, k1 = E.load_mer_file(hap1_path, k_expect=k)
     del k1
-    n0 = np.unique(np.stack([h0_hi, h0_lo], 1), axis=0).shape[0]
-    n1 = np.unique(np.stack([h1_hi, h1_lo], 1), axis=0).shape[0]
+    n0 = np.unique((h0_hi.astype(np.uint64) << np.uint64(32))
+                   | h0_lo.astype(np.uint64)).size
+    n1 = np.unique((h1_hi.astype(np.uint64) << np.uint64(32))
+                   | h1_lo.astype(np.uint64)).size
     hi = np.concatenate([h0_hi, h1_hi])
     lo = np.concatenate([h0_lo, h1_lo])
     pay = np.concatenate([np.ones(h0_hi.size, np.uint32),
@@ -435,14 +438,52 @@ def _classify_fastqs_native(table, paths, batch_size, tally, super_batch,
     return tally
 
 
+def decide_haps(bcs_s: np.ndarray, c0: np.ndarray, c1: np.ndarray,
+                size0: int, size1: int,
+                w0: float = 1.0, w1: float = 1.0) -> np.ndarray:
+    """Vectorized getHap (classify.cpp:66-86): same double math as
+    :func:`get_hap`, over S-dtype barcode + int count arrays."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        df0 = (c0.astype(np.float64) / float(size0)) * w0
+        df1 = (c1.astype(np.float64) / float(size1)) * w1
+    hap = np.full(bcs_s.shape, -1, np.int64)
+    both = (c0 > 0) & (c1 > 0)
+    hap[both & (df0 > df1)] = 0
+    hap[both & (df1 > df0)] = 1
+    hap[(c0 > 0) & (c1 <= 0)] = 0
+    hap[(c1 > 0) & (c0 <= 0)] = 1
+    hap[np.isin(bcs_s, np.array(NULL_BARCODES))] = -1
+    return hap
+
+
 def write_phased_barcodes(tally: BarcodeTally, table: H.KmerTable,
                           out, w0: float = 1.0, w1: float = 1.0) -> None:
-    """Emit phased.barcodes lines, lexicographically sorted by barcode."""
+    """Emit phased.barcodes lines, lexicographically sorted by barcode.
+
+    The decision is :func:`decide_haps` (bit-equal to the scalar
+    get_hap); numpy S-dtype sorting is bytewise like std::map's
+    std::string order, so row order matches the reference.
+    """
     size0, size1 = table.set_sizes
-    rows = sorted(tally.items(), key=lambda r: r[0])
-    for bc, c0, c1, _ in rows:
-        hap = get_hap(bc, c0, c1, size0, size1, w0, w1)
-        out.write(b"%s\t%d\t%d\t%d\n" % (bc, hap, c0, c1))
+    bcs = np.array(list(tally.index.keys()), dtype=bytes)
+    if bcs.size == 0:
+        return
+    counts = tally.counts[:bcs.size]
+    order = np.argsort(bcs, kind="stable")
+    bcs = bcs[order]
+    c0 = counts[order, 0]
+    c1 = counts[order, 1]
+    hap = decide_haps(bcs, c0, c1, size0, size1, w0, w1)
+    try:
+        from hast_tpu.io import native as N
+        buf = N.format_phased(bcs, hap, c0, c1)
+    except Exception:
+        buf = None
+    if buf is None:
+        lines = [b"%s\t%d\t%d\t%d" % t for t in
+                 zip(bcs.tolist(), hap.tolist(), c0.tolist(), c1.tolist())]
+        buf = b"\n".join(lines) + b"\n" if lines else b""
+    out.write(buf)
 
 
 def run_classify(hap0: str, hap1: str, reads: list[str], out,

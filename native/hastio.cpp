@@ -425,3 +425,51 @@ int hastio_quarter(const char* fastq_path, const char* prefix,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// phased.barcodes formatter: bulk "bc\thap\tc0\tc1\n" rows
+// (the print loop of classify.cpp:93-102; rows arrive pre-sorted)
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline char* put_i64(char* p, long long v) {
+  if (v < 0) { *p++ = '-'; v = -v; }
+  char tmp[24];
+  int n = 0;
+  do { tmp[n++] = char('0' + v % 10); v /= 10; } while (v);
+  while (n) *p++ = tmp[--n];
+  return p;
+}
+
+}  // namespace
+
+extern "C" {
+
+// bcs: n rows of fixed width `w`, NUL-padded (numpy S dtype).  Writes
+// formatted rows into out (cap bytes); returns bytes written or -1 if
+// out would overflow.
+long hastio_format_phased(const char* bcs, long n, int w,
+                          const int32_t* hap, const int64_t* c0,
+                          const int64_t* c1, char* out, long cap) {
+  char* p = out;
+  char* end = out + cap;
+  for (long i = 0; i < n; ++i) {
+    const char* bc = bcs + i * w;
+    int len = 0;
+    while (len < w && bc[len]) ++len;
+    if (p + len + 3 + 3 * 21 + 1 > end) return -1;
+    memcpy(p, bc, len);
+    p += len;
+    *p++ = '\t';
+    p = put_i64(p, hap[i]);
+    *p++ = '\t';
+    p = put_i64(p, c0[i]);
+    *p++ = '\t';
+    p = put_i64(p, c1[i]);
+    *p++ = '\n';
+  }
+  return p - out;
+}
+
+}  // extern "C"

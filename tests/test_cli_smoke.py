@@ -56,7 +56,8 @@ def test_mark_library_cli():
     assert b"#lib3_" in out
 
 
-def test_filter_barcodes_cli(tmp_path):
+def test_filter_barcodes_cli(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)  # the stats log appends to cwd
     bl = tmp_path / "list.txt"
     # grab a real barcode from the golden splits
     bc = (GOLD / "stage01" / "paternal.unique.barcodes.golden"
