@@ -38,6 +38,10 @@ def get_lib():
     lib.hastio_open.restype = ctypes.c_void_p
     lib.hastio_open.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                 ctypes.c_int, ctypes.c_int]
+    lib.hastio_open_packed.restype = ctypes.c_void_p
+    lib.hastio_open_packed.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                       ctypes.c_int, ctypes.c_int,
+                                       ctypes.c_int]
     lib.hastio_next_batch.restype = ctypes.c_long
     lib.hastio_next_batch.argtypes = [
         ctypes.c_void_p,
@@ -104,20 +108,28 @@ class NativeBatch:
 
 
 class NativeFastqReader:
-    """Iterate packed batches; barcode strings available after drain."""
+    """Iterate batches; barcode strings available after drain.
+
+    With packed=True the seqs rows are 2-bit packed (4 bases/byte,
+    identical to ops/encode.pack_codes_np) with stride max_len/4 —
+    the pack runs on the C++ prefetch thread, off the GIL.
+    """
 
     def __init__(self, path: str, batch_size: int = 1 << 16,
-                 len_cap: int = 1024, fastq: bool = True):
+                 len_cap: int = 1024, fastq: bool = True,
+                 packed: bool = False):
         lib = get_lib()
         if lib is None:
             raise RuntimeError("libhastio.so unavailable")
         self._lib = lib
-        self._h = lib.hastio_open(path.encode(), batch_size, len_cap,
-                                  1 if fastq else 0)
+        self._h = lib.hastio_open_packed(path.encode(), batch_size,
+                                         len_cap, 1 if fastq else 0,
+                                         1 if packed else 0)
         if not self._h:
             raise FileNotFoundError(path)
         self._bs = batch_size
         self._cap = len_cap
+        self._packed = packed
 
     def __iter__(self) -> Iterator[NativeBatch]:
         lib, h, bs = self._lib, self._h, self._bs
@@ -125,21 +137,23 @@ class NativeFastqReader:
         # copy of the used (bs, stride) region so large len_caps don't
         # cost a full-cap allocation per batch
         scratch = np.empty(bs * self._cap, np.uint8)
+        div = 4 if self._packed else 1
         while True:
             lengths = np.empty(bs, np.int32)
             has_n = np.empty(bs, np.uint8)
             bids = np.empty(bs, np.int32)
-            stride = ctypes.c_int32()
+            max_len = ctypes.c_int32()
             n = lib.hastio_next_batch(h, scratch, lengths, has_n, bids,
-                                      ctypes.byref(stride))
+                                      ctypes.byref(max_len))
             if n <= 0:
                 return
             if lib.hastio_truncated(h):
                 raise RuntimeError(
                     "reads longer than len_cap encountered; rerun with a "
                     "larger len_cap or engine='python'")
+            stride = max_len.value // div
             yield NativeBatch(
-                scratch[:bs * stride.value].reshape(bs, stride.value).copy(),
+                scratch[:bs * stride].reshape(bs, stride).copy(),
                 lengths, has_n.astype(bool), bids, int(n))
 
     def barcodes(self) -> list[bytes]:

@@ -366,7 +366,8 @@ def _classify_fastqs_native(table, paths, batch_size, tally, super_batch,
     S = super_batch
     for path in paths:
         print(f"__process read: {path}", file=sys.stderr)
-        reader = N.NativeFastqReader(path, batch_size, len_cap=1024)
+        reader = N.NativeFastqReader(path, batch_size, len_cap=1024,
+                                     packed=True)
         local = np.zeros((1 << 12, 3), np.int64)
         inflight: list = []  # [(device votes, [native batch meta])]
         buf: list = []
@@ -399,14 +400,15 @@ def _classify_fastqs_native(table, paths, batch_size, tally, super_batch,
             nonlocal buf
             if not buf:
                 return
-            L = max(b.seqs.shape[1] for b in buf)
-            seqs = np.zeros((S, batch_size, L), np.uint8)
+            # rows arrive 2-bit packed from the native reader; zero
+            # pad bytes decode to A, same as the ASCII zero-pad path
+            Lp = max(b.seqs.shape[1] for b in buf)
+            seqs = np.zeros((S, batch_size, Lp), np.uint8)
             lengths = np.zeros((S, batch_size), np.int32)
             for s, b in enumerate(buf):
                 seqs[s, :, :b.seqs.shape[1]] = b.seqs
                 lengths[s] = b.lengths
-            votes = vote_fn(jnp.asarray(pack_codes_np(seqs)),
-                            jnp.asarray(lengths))
+            votes = vote_fn(jnp.asarray(seqs), jnp.asarray(lengths))
             # start the device->host copy now; collect at the end so
             # every super-batch stays in flight (latency hiding on
             # remote-attached devices)

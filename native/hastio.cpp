@@ -102,6 +102,7 @@ struct Reader {
   int batch_size;
   int len_cap;
   bool fastq;
+  bool packed = false;  // emit 2-bit packed rows (stride = max_len/4)
 
   std::unordered_map<std::string, int32_t> barcode_ids;
   std::vector<std::string> barcode_order;
@@ -171,7 +172,8 @@ struct Reader {
     max_len = ((max_len + 127) / 128) * 128;
     b->max_len = max_len;
     b->n = static_cast<int>(seqs.size());
-    b->seqs.assign(static_cast<size_t>(batch_size) * max_len, 0);
+    const int stride = packed ? max_len / 4 : max_len;
+    b->seqs.assign(static_cast<size_t>(batch_size) * stride, 0);
     b->lengths.assign(batch_size, 0);
     b->has_n.assign(batch_size, 0);
     b->barcode_ids.assign(batch_size, 0);
@@ -182,7 +184,24 @@ struct Reader {
         L = max_len;
         truncated++;
       }
-      memcpy(&b->seqs[static_cast<size_t>(i) * max_len], s.data(), L);
+      uint8_t* row = &b->seqs[static_cast<size_t>(i) * stride];
+      if (packed) {
+        // 2-bit pack, 4 bases/byte little-endian: the reference
+        // encoding (c>>1)&3 on every byte (kmer.h:11-12), matching
+        // ops/encode.pack_codes_np bit-for-bit.
+        const uint8_t* p = reinterpret_cast<const uint8_t*>(s.data());
+        int j = 0;
+        for (; j + 4 <= L; j += 4) {
+          row[j >> 2] = static_cast<uint8_t>(
+              ((p[j] >> 1) & 3) | (((p[j + 1] >> 1) & 3) << 2) |
+              (((p[j + 2] >> 1) & 3) << 4) | (((p[j + 3] >> 1) & 3) << 6));
+        }
+        for (; j < L; j++)
+          row[j >> 2] |= static_cast<uint8_t>(((p[j] >> 1) & 3)
+                                              << ((j & 3) * 2));
+      } else {
+        memcpy(row, s.data(), L);
+      }
       b->lengths[i] = L;
       b->has_n[i] = memchr(s.data(), 'N', s.size()) != nullptr;
       b->barcode_ids[i] = barcode_id(heads[i].data(), heads[i].size());
@@ -239,6 +258,20 @@ extern "C" {
 void* hastio_open(const char* path, int batch_size, int len_cap,
                   int fastq) {
   auto* r = new Reader(path, batch_size, len_cap, fastq != 0);
+  if (!r->in.ok()) {
+    delete r;
+    return nullptr;
+  }
+  r->start();
+  return r;
+}
+
+// packed != 0: seqs rows are 2-bit packed, stride = max_len/4 bytes
+// (*max_len_out from hastio_next_batch still reports BASES).
+void* hastio_open_packed(const char* path, int batch_size, int len_cap,
+                         int fastq, int packed) {
+  auto* r = new Reader(path, batch_size, len_cap, fastq != 0);
+  r->packed = packed != 0;
   if (!r->in.ok()) {
     delete r;
     return nullptr;

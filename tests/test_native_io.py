@@ -93,3 +93,23 @@ def test_native_quarter_matches_python(tmp_path, monkeypatch):
             assert a.read_bytes() == b.read_bytes(), name
     assert (tmp_path / "py" / "filter_reads.log").read_bytes() == \
         (tmp_path / "nat" / "filter_reads.log").read_bytes()
+
+
+@pytest.mark.parametrize("name", ["reads1.fq.gz", "reads2.fq"])
+def test_native_packed_matches_host_pack(name):
+    """packed=True rows == pack_codes_np(ASCII rows), bit-for-bit."""
+    from hast_tpu.ops.encode import pack_codes_np
+    N = _native()
+    path = str(GOLD / name)
+    plain = list(N.NativeFastqReader(path, batch_size=512, len_cap=256))
+    packed = list(N.NativeFastqReader(path, batch_size=512, len_cap=256,
+                                      packed=True))
+    assert len(plain) == len(packed)
+    for a, b in zip(plain, packed):
+        assert a.n == b.n
+        assert np.array_equal(a.lengths, b.lengths)
+        assert np.array_equal(a.has_n, b.has_n)
+        assert np.array_equal(a.barcode_ids, b.barcode_ids)
+        # ASCII rows are zero-padded; (0>>1)&3 == 0, so packing the
+        # padded row matches the padded packed row exactly
+        assert np.array_equal(pack_codes_np(a.seqs), b.seqs)
