@@ -81,7 +81,7 @@ def _add_classify(sub):
     p.add_argument("--weight1", type=float, default=1.0)
     p.add_argument("--adaptor_f", default=None)
     p.add_argument("--adaptor_r", default=None)
-    p.add_argument("--batch-size", type=int, default=1 << 14)
+    p.add_argument("--batch-size", type=int, default=1 << 15)
     p.add_argument("--thread", type=int, default=None,
                    help="accepted for reference compatibility (unused)")
     p.add_argument("--output", default="-")
@@ -129,7 +129,7 @@ def _add_classify_reads(sub):
     p.add_argument("--adaptor_f", default=None)
     p.add_argument("--adaptor_r", default=None)
     p.add_argument("--workdir", default=".")
-    p.add_argument("--batch-size", type=int, default=1 << 14)
+    p.add_argument("--batch-size", type=int, default=1 << 15)
     p.add_argument("--thread", type=int, default=None,
                    help="accepted for reference compatibility (unused)")
     p.add_argument("--format", choices=("fasta", "fastq"), default="fastq",

@@ -277,17 +277,20 @@ def get_hap(barcode: bytes, c0: int, c1: int, size0: int, size1: int,
 
 
 def classify_fastqs(table: H.KmerTable, paths: Iterable[str],
-                    batch_size: int = FQ.DEFAULT_BATCH,
+                    batch_size: int = 1 << 15,
                     tally: BarcodeTally | None = None,
-                    super_batch: int = 16,
+                    super_batch: int = 2,
                     engine: str = "auto") -> BarcodeTally:
     """Stream fastq files through the device vote kernel into a tally.
 
-    Batches are grouped into super-batches of `super_batch` so each
+    Batches are grouped into super-batches of `super_batch`; each
     device interaction (transfer, dispatch, fetch) covers
-    super_batch*batch_size reads — the host<->device round-trip count,
-    not device compute, bounds throughput on remote-attached TPUs.
-    All dispatches stay async; results are drained with a one-deep lag.
+    super_batch*batch_size reads.  Defaults were swept on a v5e behind
+    a remote tunnel: 64k reads per interaction keeps ~8 super-batches
+    in flight over a 1M-read file, so reader, host->device copies,
+    device compute and drains all overlap (one giant super-batch
+    serializes the whole chain and runs ~1.6x slower).
+    All dispatches stay async; results are drained with a lag.
 
     engine: "native" uses the C++ hastio reader (decode + pack +
     barcode dictionary off the GIL with a prefetch thread), "python"
@@ -392,9 +395,15 @@ def _classify_fastqs_native(table, paths, batch_size, tally, super_batch,
                 v0 = np.where(hn, 0, v0)
                 v1 = np.where(hn, 0, v1)
                 unk = (hn | ((v0 == 0) & (v1 == 0))).astype(np.int64)
-                np.add.at(local[:, 0], ids, v0)
-                np.add.at(local[:, 1], ids, v1)
-                np.add.at(local[:, 2], ids, unk)
+                # bincount is ~20x faster than np.add.at; float64
+                # sums of these small ints are exact (<< 2^53)
+                nb = local.shape[0]
+                local[:, 0] += np.bincount(
+                    ids, weights=v0, minlength=nb).astype(np.int64)
+                local[:, 1] += np.bincount(
+                    ids, weights=v1, minlength=nb).astype(np.int64)
+                local[:, 2] += np.bincount(
+                    ids, weights=unk, minlength=nb).astype(np.int64)
 
         def flush():
             nonlocal buf
