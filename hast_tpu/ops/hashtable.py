@@ -17,13 +17,21 @@ payload at bits 30..31.  Empty slot = (0xFFFFFFFF, 0xFFFFFFFF), which no
 canonical k-mer can equal (poly-G is never canonical), so empty slots
 can never match a query and need no explicit emptiness test.
 
+BUCKET=2 (16-byte rows) is chosen from a measured v5e gather-cost
+curve: XLA's row gather is dominated by per-row latency but still
+scales with row bytes (64B rows: 122M gathers/s; 16B rows: 199M/s;
+8B: 207M/s).  Two slots per bucket keeps the (2,2)-cuckoo build easy
+(load threshold ~0.9) at ~96% of the 8-byte-row probe speed.
+
 Placement is 2-choice hashing: a key lives in bucket ``hash1 & mask``
 or ``hash2 & mask`` — lookups are exactly two row-gathers regardless of
 load (XLA unrolls both; no data-dependent loop).  Insertion is
-host-side numpy, fully vectorized: round 0 fills home buckets, round 1
-spills the overflow to the alternate bucket; if anything still doesn't
-fit (rare below ~0.7 load with 8-slot buckets) the table doubles and
-placement retries.
+host-side numpy: round 0 fills home buckets vectorized, round 1 spills
+the overflow to the alternate bucket; the few stragglers (avg bucket
+occupancy is <= load) go through a classic cuckoo random-walk eviction
+loop, and only if an eviction chain exceeds its kick budget does the
+table double and retry.  Build cost is one-time and snapshot-cached
+(.probetable.npz).
 """
 
 from __future__ import annotations
@@ -35,7 +43,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BUCKET = 8
+BUCKET = 2
 PAYLOAD_SHIFT = np.uint32(30)
 HI_MASK = np.uint32((1 << 30) - 1)
 EMPTY = np.uint32(0xFFFFFFFF)
@@ -129,10 +137,57 @@ def _try_place(hi, lo, hi_packed, n_buckets: int):
         data[tgt_b, 2 * tgt_s + 1] = lo[keys]
         np.add.at(occupancy, b_s[place], 1)
         pending = pend_s[~place]
-    return data if pending.size == 0 else None
+    if pending.size == 0:
+        return data
+    if _evict_place(data, hi, lo, hi_packed, pending, n_buckets):
+        return data
+    return None
 
 
-def build_table(hi, lo, payload, k: int, load: float = 0.5,
+def _evict_place(data, hi, lo, hi_packed, pending, n_buckets: int,
+                 max_kicks: int = 512) -> bool:
+    """Cuckoo random-walk insertion for the greedy rounds' stragglers.
+
+    Scalar host loop — pending is a small tail (both greedy rounds ran
+    first), and the whole build is snapshot-cached.  Returns False if
+    any eviction chain exhausts its kick budget (caller doubles).
+    """
+    mask = n_buckets - 1
+    rng = np.random.default_rng(n_buckets)  # deterministic builds
+    for idx in pending:
+        cur_hp = int(hi_packed[idx])
+        cur_lo = int(lo[idx])
+        rnd = 0
+        for kick in range(max_kicks):
+            cur_hi = np.uint32(cur_hp) & HI_MASK
+            b = int(_hash_round(rnd, np.uint32(cur_hi)[None],
+                                np.uint32(cur_lo)[None])[0]) & mask
+            row = data[b]
+            placed = False
+            for s in range(BUCKET):
+                if row[2 * s] == EMPTY and row[2 * s + 1] == EMPTY:
+                    row[2 * s] = cur_hp
+                    row[2 * s + 1] = cur_lo
+                    placed = True
+                    break
+            if placed:
+                break
+            s = int(rng.integers(BUCKET))
+            ev_hp, ev_lo = int(row[2 * s]), int(row[2 * s + 1])
+            row[2 * s] = cur_hp
+            row[2 * s + 1] = cur_lo
+            # the evicted key moves to its OTHER choice
+            ev_hi = np.uint32(ev_hp) & HI_MASK
+            b0 = int(_hash_round(0, np.uint32(ev_hi)[None],
+                                 np.uint32(ev_lo)[None])[0]) & mask
+            rnd = 1 if b0 == b else 0
+            cur_hp, cur_lo = ev_hp, ev_lo
+        else:
+            return False
+    return True
+
+
+def build_table(hi, lo, payload, k: int, load: float = 0.35,
                 set_sizes: tuple[int, ...] = ()) -> KmerTable:
     """Build a probe table from canonical k-mer arrays.
 

@@ -48,7 +48,7 @@ NULL_BARCODES = (b"0_0_0", b"0_0", b"0")
 
 
 def load_marker_table(hap0_path: str, hap1_path: str,
-                      load: float = 0.5,
+                      load: float = 0.35,
                       snapshot: bool = True) -> H.KmerTable:
     """Load two one-kmer-per-line marker files into one combined table.
 
@@ -66,7 +66,7 @@ def load_marker_table(hap0_path: str, hap1_path: str,
     key = tuple(
         float(x) for p in (hap0_path, hap1_path)
         for x in (os.path.getsize(p), int(os.path.getmtime(p)))
-    ) + (load, 2.0)  # 2.0 = table format version
+    ) + (load, 3.0)  # 3.0 = table format version (16-byte bucket rows)
     if snapshot and os.path.exists(cache_path):
         try:
             z = np.load(cache_path, allow_pickle=False)

@@ -75,3 +75,15 @@ def test_remove_keys_adaptor_erasure():
     assert t.set_sizes == (1, 1)
     got = H.probe_np(t, hi, lo)
     assert got.tolist() == [2, 1]
+
+
+def test_build_deterministic_under_eviction():
+    """Same keys -> byte-identical table, even through the cuckoo
+    eviction path (rng is seeded from n_buckets)."""
+    k = 21
+    hi, lo = _random_keys(30000, k, 5)
+    pay = np.ones(hi.size, np.uint32)
+    t1 = H.build_table(hi, lo, pay, k, load=0.9)
+    t2 = H.build_table(hi, lo, pay, k, load=0.9)
+    assert t1.n_buckets == t2.n_buckets
+    np.testing.assert_array_equal(t1.data, t2.data)
