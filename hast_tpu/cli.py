@@ -463,7 +463,30 @@ def _add_filter_barcodes(sub):
     p.set_defaults(func=run)
 
 
+def _enable_jit_cache():
+    """Persist compiled XLA programs across CLI invocations.
+
+    First compile of the classify kernels costs tens of seconds
+    (minutes on remote-attached devices); the persistent cache makes
+    every later run start hot.  Opt out with HAST_TPU_NO_JIT_CACHE=1.
+    """
+    if os.environ.get("HAST_TPU_NO_JIT_CACHE"):
+        return
+    try:
+        import jax
+        cache = os.environ.get(
+            "HAST_TPU_JIT_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "hast_tpu",
+                         "jax_ccache"))
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv=None):
+    _enable_jit_cache()
     parser = argparse.ArgumentParser(
         prog="hast_tpu", description=__doc__,
         formatter_class=argparse.RawDescriptionHelpFormatter)

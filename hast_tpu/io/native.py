@@ -56,6 +56,11 @@ def get_lib():
     lib.hastio_get_barcodes.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                         ctypes.c_long]
     lib.hastio_close.argtypes = [ctypes.c_void_p]
+    lib.hastio_max_barcode_len.restype = ctypes.c_long
+    lib.hastio_max_barcode_len.argtypes = [ctypes.c_void_p]
+    lib.hastio_get_barcodes_fixed.restype = ctypes.c_long
+    lib.hastio_get_barcodes_fixed.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long, ctypes.c_int]
     lib.hastio_truncated.restype = ctypes.c_long
     lib.hastio_truncated.argtypes = [ctypes.c_void_p]
     lib.hastio_quarter.restype = ctypes.c_int
@@ -128,7 +133,8 @@ class NativeFastqReader:
         if not self._h:
             raise FileNotFoundError(path)
         self._bs = batch_size
-        self._cap = len_cap
+        # batch row strides are rounded up to 128 bases natively
+        self._cap = ((len_cap + 127) // 128) * 128
         self._packed = packed
 
     def __iter__(self) -> Iterator[NativeBatch]:
@@ -155,6 +161,20 @@ class NativeFastqReader:
             yield NativeBatch(
                 scratch[:bs * stride].reshape(bs, stride).copy(),
                 lengths, has_n.astype(bool), bids, int(n))
+
+    def barcodes_array(self) -> np.ndarray:
+        """Barcodes in id order as a numpy S-array (no python objects).
+
+        ~10x cheaper than :meth:`barcodes` at millions of barcodes —
+        the vectorized tally/merge/sort path consumes this directly.
+        """
+        width = max(1, int(self._lib.hastio_max_barcode_len(self._h)))
+        n = int(self._lib.hastio_num_barcodes(self._h))
+        buf = np.zeros(n * width, np.uint8)
+        got = self._lib.hastio_get_barcodes_fixed(
+            self._h, buf.ctypes.data_as(ctypes.c_char_p), buf.size, width)
+        assert got == n, (got, n)
+        return buf.view(f"S{width}")
 
     def barcodes(self) -> list[bytes]:
         need = self._lib.hastio_get_barcodes(self._h, None, 0)

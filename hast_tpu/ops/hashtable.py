@@ -100,6 +100,7 @@ class KmerTable:
     k: int
     n_keys: int               # distinct canonical keys stored
     set_sizes: tuple[int, ...] = ()  # per-haplotype set size (for getHap)
+    cache_key: tuple = ()     # snapshot identity (device-upload reuse)
 
     def device_put(self, sharding=None):
         self.data = jax.device_put(jnp.asarray(self.data), sharding)
@@ -145,46 +146,58 @@ def _try_place(hi, lo, hi_packed, n_buckets: int):
 
 
 def _evict_place(data, hi, lo, hi_packed, pending, n_buckets: int,
-                 max_kicks: int = 512) -> bool:
+                 max_rounds: int = 4096) -> bool:
     """Cuckoo random-walk insertion for the greedy rounds' stragglers.
 
-    Scalar host loop — pending is a small tail (both greedy rounds ran
-    first), and the whole build is snapshot-cached.  Returns False if
-    any eviction chain exhausts its kick budget (caller doubles).
+    Vectorized bulk rounds: every round, ONE pending key per bucket
+    (the "actor") either takes a free slot or evicts a random occupant
+    (which joins the pending set headed for its other choice); the
+    rest flip to their alternate bucket and retry.  All numpy — builds
+    stay fast even when the pow2 table lands at ~0.85 load (the scalar
+    per-key walk took tens of seconds there).  Deterministic (seeded
+    by n_buckets).  Returns False if the walk exhausts max_rounds
+    (caller doubles the table).
     """
-    mask = n_buckets - 1
+    mask = np.int64(n_buckets - 1)
     rng = np.random.default_rng(n_buckets)  # deterministic builds
-    for idx in pending:
-        cur_hp = int(hi_packed[idx])
-        cur_lo = int(lo[idx])
-        rnd = 0
-        for kick in range(max_kicks):
-            cur_hi = np.uint32(cur_hp) & HI_MASK
-            b = int(_hash_round(rnd, np.uint32(cur_hi)[None],
-                                np.uint32(cur_lo)[None])[0]) & mask
-            row = data[b]
-            placed = False
-            for s in range(BUCKET):
-                if row[2 * s] == EMPTY and row[2 * s + 1] == EMPTY:
-                    row[2 * s] = cur_hp
-                    row[2 * s + 1] = cur_lo
-                    placed = True
-                    break
-            if placed:
-                break
-            s = int(rng.integers(BUCKET))
-            ev_hp, ev_lo = int(row[2 * s]), int(row[2 * s + 1])
-            row[2 * s] = cur_hp
-            row[2 * s + 1] = cur_lo
-            # the evicted key moves to its OTHER choice
-            ev_hi = np.uint32(ev_hp) & HI_MASK
-            b0 = int(_hash_round(0, np.uint32(ev_hi)[None],
-                                 np.uint32(ev_lo)[None])[0]) & mask
-            rnd = 1 if b0 == b else 0
-            cur_hp, cur_lo = ev_hp, ev_lo
-        else:
-            return False
-    return True
+    cur_hp = hi_packed[pending].copy()
+    cur_lo = lo[pending].copy()
+    rnd = np.zeros(pending.size, np.int8)
+    for _ in range(max_rounds):
+        if cur_hp.size == 0:
+            return True
+        cur_hi = cur_hp & HI_MASK
+        b0 = (kmer_hash(cur_hi, cur_lo).astype(np.int64)) & mask
+        b1 = (kmer_hash2(cur_hi, cur_lo).astype(np.int64)) & mask
+        b = np.where(rnd == 0, b0, b1)
+        # one actor per bucket: first pending key targeting it
+        order = np.argsort(b, kind="stable")
+        b_s = b[order]
+        first = np.ones(b_s.size, bool)
+        first[1:] = b_s[1:] != b_s[:-1]
+        actors = order[first]
+        ab = b[actors]
+        rows = data[ab]                       # (A, 2*BUCKET)
+        free = (rows[:, 0::2] == EMPTY) & (rows[:, 1::2] == EMPTY)
+        has_free = free.any(axis=1)
+        slot = np.where(has_free, np.argmax(free, axis=1),
+                        rng.integers(0, BUCKET, actors.size))
+        ev_hp = data[ab, 2 * slot].copy()
+        ev_lo = data[ab, 2 * slot + 1].copy()
+        data[ab, 2 * slot] = cur_hp[actors]
+        data[ab, 2 * slot + 1] = cur_lo[actors]
+        # evicted keys re-enter headed for their OTHER choice
+        kicked = ~has_free
+        k_hp, k_lo, k_b = ev_hp[kicked], ev_lo[kicked], ab[kicked]
+        k_b0 = (kmer_hash(k_hp & HI_MASK, k_lo).astype(np.int64)) & mask
+        k_rnd = np.where(k_b0 == k_b, 1, 0).astype(np.int8)
+        # survivors: everyone who wasn't an actor, alternated
+        keep = np.ones(cur_hp.size, bool)
+        keep[actors] = False
+        cur_hp = np.concatenate([cur_hp[keep], k_hp])
+        cur_lo = np.concatenate([cur_lo[keep], k_lo])
+        rnd = np.concatenate([rnd[keep] ^ 1, k_rnd])
+    return False
 
 
 def build_table(hi, lo, payload, k: int, load: float = 0.35,

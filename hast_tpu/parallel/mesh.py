@@ -164,7 +164,9 @@ def sharded_vote_step(mesh: Mesh, table_sharded: jax.Array,
             pay = jax.lax.psum(jnp.where(valid, pay, 0), "tp")
             v0 = jnp.sum(pay & 1, axis=-1, dtype=jnp.int32)
             v1 = jnp.sum((pay >> 1) & 1, axis=-1, dtype=jnp.int32)
-            return jnp.stack([v0, v1], axis=-1)
+            # uint16 halves vote fetch traffic (votes < 2^16, see
+            # pipeline.classify.vote_kernel_packed)
+            return jnp.stack([v0, v1], axis=-1).astype(jnp.uint16)
 
         return jax.lax.map(one, (packed, lengths))
 

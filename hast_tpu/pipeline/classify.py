@@ -48,7 +48,7 @@ NULL_BARCODES = (b"0_0_0", b"0_0", b"0")
 
 
 def load_marker_table(hap0_path: str, hap1_path: str,
-                      load: float = 0.35,
+                      load: float = 0.7,
                       snapshot: bool = True) -> H.KmerTable:
     """Load two one-kmer-per-line marker files into one combined table.
 
@@ -66,7 +66,8 @@ def load_marker_table(hap0_path: str, hap1_path: str,
     key = tuple(
         float(x) for p in (hap0_path, hap1_path)
         for x in (os.path.getsize(p), int(os.path.getmtime(p)))
-    ) + (load, 3.0)  # 3.0 = table format version (16-byte bucket rows)
+    ) + (load, 4.0)  # 4.0 = table format version (16-byte bucket rows,
+    #                  vectorized cuckoo placement, load 0.7 default)
     if snapshot and os.path.exists(cache_path):
         try:
             z = np.load(cache_path, allow_pickle=False)
@@ -76,6 +77,7 @@ def load_marker_table(hap0_path: str, hap1_path: str,
                     max_probe=int(z["max_probe"]), k=int(z["k"]),
                     n_keys=int(z["n_keys"]),
                     set_sizes=tuple(int(x) for x in z["set_sizes"]))
+                table.cache_key = key
                 for h, n in enumerate(z["line_counts"].tolist()):
                     print(f"Recorded {n} haplotype {h} specific "
                           f"{table.k}-mers", file=sys.stderr)
@@ -94,6 +96,7 @@ def load_marker_table(hap0_path: str, hap1_path: str,
     pay = np.concatenate([np.ones(h0_hi.size, np.uint32),
                           np.full(h1_hi.size, 2, np.uint32)])
     table = H.build_table(hi, lo, pay, k, load=load, set_sizes=(n0, n1))
+    table.cache_key = key
     print(f"Recorded {h0_hi.size} haplotype 0 specific {k}-mers",
           file=sys.stderr)
     print(f"Recorded {h1_hi.size} haplotype 1 specific {k}-mers",
@@ -195,7 +198,9 @@ def vote_kernel_packed(data: jax.Array, packed: jax.Array,
         pay = jnp.where(valid, pay, 0)
         v0 = jnp.sum(pay & 1, axis=-1, dtype=jnp.int32)
         v1 = jnp.sum((pay >> 1) & 1, axis=-1, dtype=jnp.int32)
-        return jnp.stack([v0, v1], axis=-1)
+        # uint16 halves the device->host vote traffic; votes are
+        # bounded by read length (<= len_cap - k + 1 < 2^16)
+        return jnp.stack([v0, v1], axis=-1).astype(jnp.uint16)
 
     return jax.lax.map(one, (packed, lengths))
 
@@ -207,11 +212,18 @@ class BarcodeTally:
     The merge of the reference's per-thread BarcodeCaches
     (classify.cpp:50-64) collapses to plain integer adds — the
     reduction is commutative, so device batch order doesn't matter.
+
+    Two ingestion paths share the structure: the python reader adds
+    per-batch barcode *lists* through the dict index (add_batch), the
+    native reader folds whole per-file count tables keyed by S-dtype
+    name arrays (merge_names) with no per-barcode python.  finalize()
+    reconciles both into one (names, counts) pair.
     """
 
     index: dict[bytes, int] = dataclasses.field(default_factory=dict)
     counts: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros((1024, 3), np.int64))
+    _pending: list = dataclasses.field(default_factory=list)
 
     def _ids(self, barcodes: list[bytes]) -> np.ndarray:
         idx = self.index
@@ -241,18 +253,48 @@ class BarcodeTally:
 
     def add_tally(self, other: "BarcodeTally") -> None:
         """Cross-shard reduce (the *correct* mergeResult semantics)."""
-        for bc, oid in other.index.items():
-            ids = self._ids([bc])
-            self.counts[ids[0]] += other.counts[oid]
+        names, counts = other.finalize()
+        self.merge_names(names, counts)
 
     def merge_ids(self, barcodes: list[bytes], counts: np.ndarray) -> None:
         """Fold a reader-local (n_barcodes, 3) count table in by name."""
-        ids = self._ids(barcodes)
-        np.add.at(self.counts, ids, counts[:len(barcodes)])
+        names = np.array(barcodes, dtype=bytes)
+        self.merge_names(names, np.asarray(counts[:names.size], np.int64))
+
+    def merge_names(self, names: np.ndarray, counts: np.ndarray) -> None:
+        """Fold a (n,) S-dtype name array + (n, 3) count table in.
+
+        Vectorized: parts are queued and reconciled in finalize() with
+        one np.unique over the union — no per-barcode python.
+        """
+        if names.size:
+            self._pending.append((names, counts))
+
+    def finalize(self) -> tuple[np.ndarray, np.ndarray]:
+        """Deduplicated (names S-array, (n, 3) int64 counts), unsorted."""
+        parts = list(self._pending)
+        if self.index:
+            names = np.array(list(self.index.keys()), dtype=bytes)
+            parts.append((names, self.counts[:names.size]))
+        if not parts:
+            return np.empty(0, "S1"), np.zeros((0, 3), np.int64)
+        if len(parts) == 1:
+            return parts[0]
+        width = max(p[0].dtype.itemsize for p in parts)
+        all_names = np.concatenate(
+            [p[0].astype(f"S{width}") for p in parts])
+        all_counts = np.concatenate([p[1] for p in parts]).astype(np.int64)
+        uniq, inv = np.unique(all_names, return_inverse=True)
+        counts = np.zeros((uniq.size, 3), np.int64)
+        np.add.at(counts, inv, all_counts)
+        self._pending = [(uniq, counts)]
+        self.index = {}
+        self.counts = np.zeros((1024, 3), np.int64)
+        return uniq, counts
 
     def items(self):
-        for bc, i in self.index.items():
-            c = self.counts[i]
+        names, counts = self.finalize()
+        for bc, c in zip(names.tolist(), counts):
             yield bc, int(c[0]), int(c[1]), int(c[2])
 
 
@@ -374,6 +416,12 @@ def _classify_fastqs_native(table, paths, batch_size, tally, super_batch,
         local = np.zeros((1 << 12, 3), np.int64)
         inflight: list = []  # [(device votes, [native batch meta])]
         buf: list = []
+        # drained per-read rows, folded into `local` in bulk: three
+        # bincounts per ~4M reads instead of per batch (each bincount
+        # walks the whole barcode range, so batch-wise folding is
+        # O(batches * n_barcodes))
+        acc: list = []       # [(ids, v0, v1, unk)]
+        acc_reads = 0
 
         def grow(max_id):
             nonlocal local
@@ -382,28 +430,44 @@ def _classify_fastqs_native(table, paths, batch_size, tally, super_batch,
                 local = np.vstack(
                     [local, np.zeros((new - local.shape[0], 3), np.int64)])
 
+        def fold():
+            nonlocal acc, acc_reads
+            if not acc:
+                return
+            ids = np.concatenate([a[0] for a in acc])
+            v0 = np.concatenate([a[1] for a in acc])
+            v1 = np.concatenate([a[2] for a in acc])
+            unk = np.concatenate([a[3] for a in acc])
+            acc = []
+            acc_reads = 0
+            if ids.size == 0:
+                return
+            grow(int(ids.max()))
+            nb = local.shape[0]
+            # float64 sums of these small ints are exact (<< 2^53)
+            local[:, 0] += np.bincount(
+                ids, weights=v0, minlength=nb).astype(np.int64)
+            local[:, 1] += np.bincount(
+                ids, weights=v1, minlength=nb).astype(np.int64)
+            local[:, 2] += np.bincount(
+                ids, weights=unk, minlength=nb).astype(np.int64)
+
         def drain(p):
+            nonlocal acc_reads
             votes = np.asarray(p[0])
             for s, b in enumerate(p[1]):
                 n = b.n
                 ids = b.barcode_ids[:n]
-                if n:
-                    grow(int(ids.max()))
                 v0 = votes[s, :n, 0].astype(np.int64)
                 v1 = votes[s, :n, 1].astype(np.int64)
                 hn = b.has_n[:n]
                 v0 = np.where(hn, 0, v0)
                 v1 = np.where(hn, 0, v1)
                 unk = (hn | ((v0 == 0) & (v1 == 0))).astype(np.int64)
-                # bincount is ~20x faster than np.add.at; float64
-                # sums of these small ints are exact (<< 2^53)
-                nb = local.shape[0]
-                local[:, 0] += np.bincount(
-                    ids, weights=v0, minlength=nb).astype(np.int64)
-                local[:, 1] += np.bincount(
-                    ids, weights=v1, minlength=nb).astype(np.int64)
-                local[:, 2] += np.bincount(
-                    ids, weights=unk, minlength=nb).astype(np.int64)
+                acc.append((ids, v0, v1, unk))
+                acc_reads += n
+            if acc_reads >= (1 << 22):
+                fold()
 
         def flush():
             nonlocal buf
@@ -442,9 +506,10 @@ def _classify_fastqs_native(table, paths, batch_size, tally, super_batch,
         flush()
         for p in inflight:
             drain(p)
-        barcodes = reader.barcodes()
+        fold()
+        names = reader.barcodes_array()
         reader.close()
-        tally.merge_ids(barcodes, local)
+        tally.merge_names(names, local[:names.size])
         print("__process read done__", file=sys.stderr)
     return tally
 
@@ -476,10 +541,9 @@ def write_phased_barcodes(tally: BarcodeTally, table: H.KmerTable,
     std::string order, so row order matches the reference.
     """
     size0, size1 = table.set_sizes
-    bcs = np.array(list(tally.index.keys()), dtype=bytes)
+    bcs, counts = tally.finalize()
     if bcs.size == 0:
         return
-    counts = tally.counts[:bcs.size]
     order = np.argsort(bcs, kind="stable")
     bcs = bcs[order]
     c0 = counts[order, 0]
@@ -497,6 +561,24 @@ def write_phased_barcodes(tally: BarcodeTally, table: H.KmerTable,
     out.write(buf)
 
 
+# one-slot reuse of the uploaded (post-adaptor-erasure) device table:
+# repeat classify calls against the same marker files skip the
+# host->device copy, which costs seconds on remote-attached devices
+_DEVICE_TABLE: dict = {}
+
+
+def _device_table(table: H.KmerTable, adaptor_f: str,
+                  adaptor_r: str) -> None:
+    key = (table.cache_key, adaptor_f, adaptor_r)
+    if table.cache_key and _DEVICE_TABLE.get("key") == key:
+        table.data = _DEVICE_TABLE["data"]
+        return
+    table.device_put()
+    if table.cache_key:
+        _DEVICE_TABLE["key"] = key
+        _DEVICE_TABLE["data"] = table.data
+
+
 def run_classify(hap0: str, hap1: str, reads: list[str], out,
                  w0: float = 1.0, w1: float = 1.0,
                  adaptor_f: str = ADAPTOR_F, adaptor_r: str = ADAPTOR_R,
@@ -510,7 +592,7 @@ def run_classify(hap0: str, hap1: str, reads: list[str], out,
     with timer.phase("load_markers"):
         table = load_marker_table(hap0, hap1)
         erase_adaptors(table, adaptor_f, adaptor_r)
-        table.device_put()
+        _device_table(table, adaptor_f, adaptor_r)
     with timer.phase("classify"):
         tally = classify_fastqs(table, reads, batch_size)
     print("__print result__", file=sys.stderr)
