@@ -66,6 +66,21 @@ def get_lib():
     lib.hastio_quarter.restype = ctypes.c_int
     lib.hastio_quarter.argtypes = [ctypes.c_char_p] * 6 + [
         ctypes.POINTER(ctypes.c_long)]
+    lib.hastio_sort_fixed.restype = ctypes.c_long
+    lib.hastio_sort_fixed.argtypes = [
+        np.ctypeslib.ndpointer(dtype=None, flags="C_CONTIGUOUS"),
+        ctypes.c_long, ctypes.c_int,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
+    lib.hastio_decide_format.restype = ctypes.c_long
+    lib.hastio_decide_format.argtypes = [
+        np.ctypeslib.ndpointer(dtype=None, flags="C_CONTIGUOUS"),
+        ctypes.c_long, ctypes.c_int,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ctypes.c_long]
     lib.hastio_format_phased.restype = ctypes.c_long
     lib.hastio_format_phased.argtypes = [
         np.ctypeslib.ndpointer(dtype=None, flags="C_CONTIGUOUS"),
@@ -77,6 +92,46 @@ def get_lib():
         ctypes.c_long]
     _lib = lib
     return _lib
+
+
+def argsort_fixed(keys_s: np.ndarray) -> np.ndarray | None:
+    """Multithreaded bytewise argsort of an S-dtype array (width<=16);
+    same order as np.argsort(kind='stable').  None if unavailable."""
+    lib = get_lib()
+    w = keys_s.dtype.itemsize
+    if lib is None or w > 16:
+        return None
+    order = np.empty(keys_s.shape[0], np.int64)
+    got = lib.hastio_sort_fixed(np.ascontiguousarray(keys_s),
+                                keys_s.shape[0], w, order)
+    if got != keys_s.shape[0]:
+        return None
+    return order
+
+
+def decide_format_phased(bcs_s: np.ndarray, order: np.ndarray,
+                         c0: np.ndarray, c1: np.ndarray,
+                         size0: int, size1: int,
+                         w0: float, w1: float) -> bytes | None:
+    """Sort-order emit of phased.barcodes with the getHap decision done
+    natively (double math identical to pipeline.classify.decide_haps).
+    None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = bcs_s.shape[0]
+    w = bcs_s.dtype.itemsize
+    cap = n * (w + 3 * 21 + 4) + 16
+    out = np.empty(cap, np.uint8)
+    got = lib.hastio_decide_format(
+        np.ascontiguousarray(bcs_s), n, w,
+        np.ascontiguousarray(order, np.int64),
+        np.ascontiguousarray(c0, np.int64),
+        np.ascontiguousarray(c1, np.int64),
+        float(size0), float(size1), float(w0), float(w1), out, cap)
+    if got < 0:
+        return None
+    return out[:got].tobytes()
 
 
 def format_phased(bcs_s: np.ndarray, hap: np.ndarray, c0: np.ndarray,

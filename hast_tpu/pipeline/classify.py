@@ -176,6 +176,57 @@ def vote_kernel_multi(data: jax.Array, seqs_u8: jax.Array,
 pack_codes_np = E.pack_codes_np  # host packing lives with the codec
 
 
+@functools.partial(jax.jit, static_argnames=("k", "max_probe"),
+                   donate_argnums=(1,))
+def tally_step(data: jax.Array, acc: jax.Array, packed: jax.Array,
+               lengths: jax.Array, ids: jax.Array, has_n: jax.Array,
+               k: int, max_probe: int) -> jax.Array:
+    """Vote one packed super-batch and scatter-add into the device tally.
+
+    acc: (cap, 3) int32 per-barcode-id [c0, c1, unknown] accumulator
+    (donated: updated in place across dispatches).  ids: (S, B) int32
+    dense barcode ids from the native reader; pad rows carry id -1 and
+    are dropped by the scatter.  has_n: (S, B) uint8/bool — N-containing
+    reads short-circuit to the unknown bucket before voting
+    (classify.cpp:190-192).
+
+    Keeping the whole reduction on device means the only
+    device->host fetch is ONE (cap, 3) copy per file — per-batch vote
+    fetches are murder on remote-attached devices (seconds of tunnel
+    latency each).
+    """
+
+    def one(args):
+        p, lens = args
+        b, lp = p.shape
+        shifts = jnp.arange(4, dtype=jnp.int32) * 2
+        codes = ((p.astype(jnp.int32)[:, :, None] >> shifts[None, None, :])
+                 & 3).reshape(b, lp * 4)
+        hi, lo = E.canonical_kmers(codes, k)
+        good = jnp.ones(codes.shape, bool)
+        valid = E.window_valid(good, lens, k)
+        pay = H.probe(data, hi, lo, max_probe)
+        pay = jnp.where(valid, pay, 0)
+        v0 = jnp.sum(pay & 1, axis=-1, dtype=jnp.int32)
+        v1 = jnp.sum((pay >> 1) & 1, axis=-1, dtype=jnp.int32)
+        return jnp.stack([v0, v1], axis=-1)
+
+    votes = jax.lax.map(one, (packed, lengths))     # (S, B, 2) int32
+    hn = has_n.astype(bool)
+    v0 = jnp.where(hn, 0, votes[..., 0])
+    v1 = jnp.where(hn, 0, votes[..., 1])
+    unk = (hn | ((v0 == 0) & (v1 == 0))).astype(jnp.int32)
+    upd = jnp.stack([v0, v1, unk], axis=-1).reshape(-1, 3)
+    flat_ids = ids.reshape(-1)
+    return acc.at[flat_ids].add(
+        upd, mode="drop", indices_are_sorted=False, unique_indices=False)
+
+
+@jax.jit
+def _grow_acc(acc: jax.Array, zeros: jax.Array) -> jax.Array:
+    return jnp.concatenate([acc, zeros], axis=0)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "max_probe"))
 def vote_kernel_packed(data: jax.Array, packed: jax.Array,
                        lengths: jax.Array, k: int, max_probe: int):
@@ -284,9 +335,21 @@ class BarcodeTally:
         all_names = np.concatenate(
             [p[0].astype(f"S{width}") for p in parts])
         all_counts = np.concatenate([p[1] for p in parts]).astype(np.int64)
-        uniq, inv = np.unique(all_names, return_inverse=True)
-        counts = np.zeros((uniq.size, 3), np.int64)
-        np.add.at(counts, inv, all_counts)
+        order = None
+        try:
+            from hast_tpu.io import native as N
+            order = N.argsort_fixed(all_names)
+        except Exception:
+            pass
+        if order is None:
+            order = np.argsort(all_names, kind="stable")
+        s = all_names[order]
+        new = np.empty(s.size, bool)
+        new[0] = True
+        new[1:] = s[1:] != s[:-1]
+        uniq = s[new]
+        counts = np.add.reduceat(all_counts[order],
+                                 np.flatnonzero(new), axis=0)
         self._pending = [(uniq, counts)]
         self.index = {}
         self.counts = np.zeros((1024, 3), np.int64)
@@ -343,7 +406,7 @@ def classify_fastqs(table: H.KmerTable, paths: Iterable[str],
         try:
             from hast_tpu.io import native as N
             if N.get_lib() is not None:
-                return _classify_fastqs_native(
+                return _classify_fastqs_device_tally(
                     table, paths, batch_size, tally, super_batch, N)
             if engine == "native":
                 raise RuntimeError("libhastio.so unavailable")
@@ -395,6 +458,74 @@ def classify_fastqs(table: H.KmerTable, paths: Iterable[str],
     flush()
     if pending is not None:
         drain(pending)
+    return tally
+
+
+def _classify_fastqs_device_tally(table, paths, batch_size, tally,
+                                  super_batch, N) -> BarcodeTally:
+    """Native reader + device-resident per-barcode tally.
+
+    The per-read votes never leave the device: each super-batch
+    scatter-adds into a (cap, 3) int32 accumulator (donated buffer, so
+    XLA updates it in place), and the only device->host fetch is the
+    final accumulator copy per file.  On remote-attached devices this
+    removes every per-batch round trip; on local devices it removes the
+    host-side bincount folds (which fight the reader threads for CPU).
+
+    Counts accumulate in int32 on device (the reference's BarcodeCache
+    is `int` too); they widen to int64 in the host tally.
+    """
+    tally = tally or BarcodeTally()
+    data = table.data if isinstance(table.data, jax.Array) \
+        else jnp.asarray(table.data)
+    k, mp = table.k, table.max_probe
+    S = super_batch
+    for path in paths:
+        print(f"__process read: {path}", file=sys.stderr)
+        reader = N.NativeFastqReader(path, batch_size, len_cap=1024,
+                                     packed=True)
+        cap = 1 << 20
+        acc = jnp.zeros((cap, 3), jnp.int32)
+        buf: list = []
+        max_id = -1
+
+        def flush():
+            nonlocal buf, acc, cap
+            if not buf:
+                return
+            Lp = max(b.seqs.shape[1] for b in buf)
+            seqs = np.zeros((S, batch_size, Lp), np.uint8)
+            lengths = np.zeros((S, batch_size), np.int32)
+            ids = np.full((S, batch_size), -1, np.int32)
+            has_n = np.zeros((S, batch_size), np.uint8)
+            for s, b in enumerate(buf):
+                n = b.n
+                seqs[s, :, :b.seqs.shape[1]] = b.seqs
+                lengths[s] = b.lengths
+                ids[s, :n] = b.barcode_ids[:n]
+                has_n[s, :n] = b.has_n[:n]
+            buf = []
+            while max_id >= cap:
+                grow = cap  # double
+                acc = _grow_acc(acc, jnp.zeros((grow, 3), jnp.int32))
+                cap += grow
+            acc = tally_step(data, acc, jnp.asarray(seqs),
+                             jnp.asarray(lengths), jnp.asarray(ids),
+                             jnp.asarray(has_n), k, mp)
+
+        for batch in reader:
+            nb_max = int(batch.barcode_ids[:batch.n].max(initial=-1))
+            if nb_max > max_id:
+                max_id = nb_max
+            buf.append(batch)
+            if len(buf) >= S:
+                flush()
+        flush()
+        local = np.asarray(acc).astype(np.int64)   # ONE d2h per file
+        names = reader.barcodes_array()
+        reader.close()
+        tally.merge_names(names, local[:names.size])
+        print("__process read done__", file=sys.stderr)
     return tally
 
 
@@ -528,7 +659,10 @@ def decide_haps(bcs_s: np.ndarray, c0: np.ndarray, c1: np.ndarray,
     hap[both & (df1 > df0)] = 1
     hap[(c0 > 0) & (c1 <= 0)] = 0
     hap[(c1 > 0) & (c0 <= 0)] = 1
-    hap[np.isin(bcs_s, np.array(NULL_BARCODES))] = -1
+    null = np.zeros(bcs_s.shape, bool)
+    for nb in NULL_BARCODES:  # 3 vector compares beat np.isin's sort
+        null |= bcs_s == nb
+    hap[null] = -1
     return hap
 
 
@@ -544,17 +678,23 @@ def write_phased_barcodes(tally: BarcodeTally, table: H.KmerTable,
     bcs, counts = tally.finalize()
     if bcs.size == 0:
         return
-    order = np.argsort(bcs, kind="stable")
-    bcs = bcs[order]
-    c0 = counts[order, 0]
-    c1 = counts[order, 1]
-    hap = decide_haps(bcs, c0, c1, size0, size1, w0, w1)
+    order = buf = None
     try:
         from hast_tpu.io import native as N
-        buf = N.format_phased(bcs, hap, c0, c1)
+        order = N.argsort_fixed(bcs)
+        if order is not None:
+            buf = N.decide_format_phased(
+                bcs, order, np.ascontiguousarray(counts[:, 0]),
+                np.ascontiguousarray(counts[:, 1]), size0, size1, w0, w1)
     except Exception:
-        buf = None
-    if buf is None:
+        pass
+    if buf is None:  # pure-python fallback (identical output)
+        if order is None:
+            order = np.argsort(bcs, kind="stable")
+        bcs = bcs[order]
+        c0 = counts[order, 0]
+        c1 = counts[order, 1]
+        hap = decide_haps(bcs, c0, c1, size0, size1, w0, w1)
         lines = [b"%s\t%d\t%d\t%d" % t for t in
                  zip(bcs.tolist(), hap.tolist(), c0.tolist(), c1.tolist())]
         buf = b"\n".join(lines) + b"\n" if lines else b""

@@ -21,6 +21,7 @@
 //
 // C ABI (ctypes-friendly), see hast_tpu/io/native.py for the wrapper.
 
+#include <algorithm>
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
@@ -832,6 +833,173 @@ inline char* put_i64(char* p, long long v) {
 }  // namespace
 
 extern "C" {
+
+// Multithreaded argsort of n fixed-width (w <= 16) NUL-padded byte
+// keys (numpy S dtype) into order_out (int64 indices).  Bytewise
+// lexicographic — matches std::map<std::string> iteration order in
+// the reference's print loop (classify.cpp:93-102).  Keys are packed
+// into two big-endian u64 words so the comparator is two integer
+// compares; per-thread std::sort + pairwise merges.
+long hastio_sort_fixed(const char* keys, long n, int w,
+                       int64_t* order_out) {
+  if (w > 16 || n < 0) return -1;
+  if (n == 0) return 0;
+  struct Item { uint64_t hi, lo; int64_t idx; };
+  std::vector<Item> items(n);
+  int nt = (int)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  if (nt > 16) nt = 16;
+  if (n < 65536) nt = 1;
+  auto pack = [&](long lo_i, long hi_i) {
+    for (long i = lo_i; i < hi_i; ++i) {
+      unsigned char b[16] = {0};
+      memcpy(b, keys + i * w, w);
+      uint64_t a, c;
+      memcpy(&a, b, 8);
+      memcpy(&c, b + 8, 8);
+      items[i].hi = __builtin_bswap64(a);
+      items[i].lo = __builtin_bswap64(c);
+      items[i].idx = i;
+    }
+  };
+  auto cmp = [](const Item& a, const Item& b) {
+    if (a.hi != b.hi) return a.hi < b.hi;
+    if (a.lo != b.lo) return a.lo < b.lo;
+    return a.idx < b.idx;  // stable tie-break
+  };
+  std::vector<long> bounds(nt + 1);
+  for (int t = 0; t <= nt; ++t) bounds[t] = n * t / nt;
+  {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; ++t)
+      ths.emplace_back([&, t] {
+        pack(bounds[t], bounds[t + 1]);
+        std::sort(items.begin() + bounds[t], items.begin() + bounds[t + 1],
+                  cmp);
+      });
+    for (auto& th : ths) th.join();
+  }
+  // pairwise parallel merges until one run remains
+  std::vector<Item> tmp(n);
+  std::vector<long> runs(bounds.begin(), bounds.end());
+  Item* src = items.data();
+  Item* dst = tmp.data();
+  while (runs.size() > 2) {
+    std::vector<long> next;
+    std::vector<std::thread> ths;
+    next.push_back(0);
+    for (size_t r = 0; r + 2 < runs.size(); r += 2) {
+      long a = runs[r], b = runs[r + 1],
+           c = (r + 2 < runs.size()) ? runs[r + 2] : runs.back();
+      ths.emplace_back([src, dst, a, b, c, &cmp] {
+        std::merge(src + a, src + b, src + b, src + c, dst + a, cmp);
+      });
+      next.push_back(c);
+    }
+    if (runs.size() % 2 == 0) {  // odd run count: copy the tail through
+      long a = runs[runs.size() - 2], b = runs.back();
+      memcpy(dst + a, src + a, (b - a) * sizeof(Item));
+      if (next.back() != b) next.push_back(b);
+    }
+    for (auto& th : ths) th.join();
+    std::swap(src, dst);
+    runs = std::move(next);
+  }
+  for (long i = 0; i < n; ++i) order_out[i] = src[i].idx;
+  return n;
+}
+
+// Decide + format phased.barcodes rows in one pass (the reference's
+// print loop, classify.cpp:93-102, with getHap classify.cpp:66-86).
+// bcs/c0/c1 are UNSORTED; `order` (from hastio_sort_fixed) gives the
+// emit order.  The decision is IEEE double math identical to the
+// python decide_haps: hap = 0/1/-1 from (c/size)*w strict compares,
+// null barcodes ("0", "0_0", "0_0_0") forced to -1.  Two threads:
+// each formats its half into place after a length pre-pass.
+long hastio_decide_format(const char* bcs, long n, int w,
+                          const int64_t* order, const int64_t* c0,
+                          const int64_t* c1, double size0, double size1,
+                          double w0, double w1, char* out, long cap) {
+  if (n == 0) return 0;
+  auto row_hap = [&](long j) -> int {
+    const char* bc = bcs + j * w;
+    int len = 0;
+    while (len < w && bc[len]) ++len;
+    bool null_bc =
+        (len == 1 && bc[0] == '0') ||
+        (len == 3 && memcmp(bc, "0_0", 3) == 0) ||
+        (len == 5 && memcmp(bc, "0_0_0", 5) == 0);
+    if (null_bc) return -1;
+    long long a = c0[j], b = c1[j];
+    if (a > 0 && b > 0) {
+      double df0 = ((double)a / size0) * w0;
+      double df1 = ((double)b / size1) * w1;
+      if (df0 > df1) return 0;
+      if (df1 > df0) return 1;
+      return -1;
+    }
+    if (a > 0) return 0;
+    if (b > 0) return 1;
+    return -1;
+  };
+  auto dec_len = [](long long v) {
+    int d = (v < 0) ? 2 : 1;
+    if (v < 0) v = -v;
+    while (v >= 10) { v /= 10; ++d; }
+    return d;
+  };
+  int nt = n >= 65536 ? 2 : 1;
+  std::vector<long> bounds(nt + 1);
+  for (int t = 0; t <= nt; ++t) bounds[t] = n * t / nt;
+  std::vector<long> part_bytes(nt, 0);
+  auto measure = [&](int t) {
+    long bytes = 0;
+    for (long i = bounds[t]; i < bounds[t + 1]; ++i) {
+      long j = order[i];
+      const char* bc = bcs + j * w;
+      int len = 0;
+      while (len < w && bc[len]) ++len;
+      int hap = row_hap(j);
+      bytes += len + 4 + dec_len(hap) + dec_len(c0[j]) + dec_len(c1[j]);
+    }
+    part_bytes[t] = bytes;
+  };
+  {
+    std::vector<std::thread> ths;
+    for (int t = 1; t < nt; ++t) ths.emplace_back(measure, t);
+    measure(0);
+    for (auto& th : ths) th.join();
+  }
+  long total = 0;
+  std::vector<long> offs(nt);
+  for (int t = 0; t < nt; ++t) { offs[t] = total; total += part_bytes[t]; }
+  if (total > cap) return -1;
+  auto emit = [&](int t) {
+    char* p = out + offs[t];
+    for (long i = bounds[t]; i < bounds[t + 1]; ++i) {
+      long j = order[i];
+      const char* bc = bcs + j * w;
+      int len = 0;
+      while (len < w && bc[len]) ++len;
+      memcpy(p, bc, len);
+      p += len;
+      *p++ = '\t';
+      p = put_i64(p, row_hap(j));
+      *p++ = '\t';
+      p = put_i64(p, c0[j]);
+      *p++ = '\t';
+      p = put_i64(p, c1[j]);
+      *p++ = '\n';
+    }
+  };
+  {
+    std::vector<std::thread> ths;
+    for (int t = 1; t < nt; ++t) ths.emplace_back(emit, t);
+    emit(0);
+    for (auto& th : ths) th.join();
+  }
+  return total;
+}
 
 // bcs: n rows of fixed width `w`, NUL-padded (numpy S dtype).  Writes
 // formatted rows into out (cap bytes); returns bytes written or -1 if
