@@ -188,7 +188,8 @@ class NativeFastqReader:
         if not self._h:
             raise FileNotFoundError(path)
         self._bs = batch_size
-        # batch row strides are rounded up to 128 bases natively
+        # scratch covers the staging stride (round-128 of len_cap);
+        # emitted batch strides are rounded to 16 bases
         self._cap = ((len_cap + 127) // 128) * 128
         self._packed = packed
 

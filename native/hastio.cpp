@@ -287,10 +287,15 @@ struct Batch {
   std::vector<uint8_t> has_n;
   std::vector<int32_t> barcode_ids;
   int n = 0;
-  int max_len = 0;  // padded row stride in BASES (multiple of 128)
+  int max_len = 0;  // padded row stride in BASES (multiple of 16)
 };
 
 inline int round128(int x) { return ((x + 127) / 128) * 128; }
+// batch row strides round to 16 bases (4 packed bytes): finer than 128
+// keeps the device from probing pad windows (100 bp reads: 92 windows
+// instead of 108, ~15% of the gather-bound probe kernel), while coarse
+// enough that mixed-length inputs produce few distinct compile shapes
+inline int round16(int x) { return ((x + 15) / 16) * 16; }
 
 // 2-bit pack: the reference encoding (c>>1)&3 on every byte
 // (kmer/kmer.h:11-12), matching ops/encode.pack_codes_np bit-for-bit.
@@ -367,10 +372,10 @@ struct Reader {
   }
 
   // move the staged batch (stride cap_stride) into a compact batch
-  // with stride round128(max seq len) and queue it for the consumer
+  // with stride round16(max seq len) and queue it for the consumer
   bool emit_batch() {
     if (cur_rows == 0) return true;
-    int out_len = round128(std::min(cur_maxlen, len_cap));
+    int out_len = round16(std::min(cur_maxlen, len_cap));
     const size_t div = packed ? 4 : 1;
     const size_t in_stride = cap_stride / div;
     const size_t out_stride = out_len / div;
@@ -558,7 +563,7 @@ void* hastio_open_packed(const char* path, int batch_size, int len_cap,
 
 // Fills caller buffers sized batch_size*round128(len_cap) / batch_size.
 // Returns #reads (0 on EOF).  *max_len_out is the padded row stride
-// actually used (<= round128(len_cap), multiple of 128).
+// actually used (<= round128(len_cap), multiple of 16).
 long hastio_next_batch(void* handle, uint8_t* seqs, int32_t* lengths,
                        uint8_t* has_n, int32_t* barcode_ids,
                        int32_t* max_len_out) {
