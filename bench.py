@@ -24,6 +24,10 @@ import time
 CACHE = pathlib.Path(os.environ.get("HAST_BENCH_CACHE",
                                     "/tmp/hast_bench_cache"))
 N_MARKERS = int(os.environ.get("HAST_BENCH_MARKERS", 1_000_000))
+# 1M reads / ~1M distinct barcodes: in this generator barcode count
+# scales with reads (~1 read/barcode — the worst case for per-barcode
+# costs), so larger N does not amortize anything; 1M keeps the series
+# comparable across rounds.  Override with HAST_BENCH_READS.
 N_READS = int(os.environ.get("HAST_BENCH_READS", 1_000_000))
 K = 21
 
@@ -61,6 +65,7 @@ def ensure_inputs():
         f.write(b"\n".join(s1.tolist()) + b"\n")
 
     # reads: 100bp, ~30% carry a planted marker, some N reads
+    # (all plants/edits vectorized: 4M reads generate in seconds)
     L = 100
     B = np.frombuffer(b"ACGT", np.uint8)
     n = N_READS
@@ -70,20 +75,29 @@ def ensure_inputs():
     m1 = KC.words_to_strings(
         words[N_MARKERS + rng.integers(0, N_MARKERS, n)], K)
     pos = rng.integers(0, L - K + 1, n)
-    for i in range(n):
-        if which[i] < 0.15:
-            seq_arr[i, pos[i]:pos[i] + K] = np.frombuffer(m0[i], np.uint8)
-        elif which[i] < 0.30:
-            seq_arr[i, pos[i]:pos[i] + K] = np.frombuffer(m1[i], np.uint8)
-        elif which[i] < 0.32:
-            seq_arr[i, pos[i]] = ord("N")
+    cols = pos[:, None] + np.arange(K)
+    sel0 = np.flatnonzero(which < 0.15)
+    sel1 = np.flatnonzero((which >= 0.15) & (which < 0.30))
+    seln = np.flatnonzero((which >= 0.30) & (which < 0.32))
+    seq_arr[sel0[:, None], cols[sel0]] = \
+        m0[sel0].view(np.uint8).reshape(-1, K)
+    seq_arr[sel1[:, None], cols[sel1]] = \
+        m1[sel1].view(np.uint8).reshape(-1, K)
+    seq_arr[seln, pos[seln]] = ord("N")
     bcs = rng.integers(1, 1500, (n, 3))
     qual = b"F" * L
-    with open(reads, "wb") as f:
-        for i in range(n):
-            f.write(b"@V100%08d#%d_%d_%d/1\n" % (i, bcs[i, 0], bcs[i, 1],
-                                                 bcs[i, 2]))
-            f.write(seq_arr[i].tobytes() + b"\n+\n" + qual + b"\n")
+    with open(reads, "wb", buffering=1 << 22) as f:
+        chunk = 1 << 18
+        for lo_i in range(0, n, chunk):
+            hi_i = min(n, lo_i + chunk)
+            parts = []
+            rows = seq_arr[lo_i:hi_i]
+            for off, i in enumerate(range(lo_i, hi_i)):
+                parts.append(b"@V100%08d#%d_%d_%d/1\n" % (
+                    i, bcs[i, 0], bcs[i, 1], bcs[i, 2]))
+                parts.append(rows[off].tobytes())
+                parts.append(b"\n+\n" + qual + b"\n")
+            f.write(b"".join(parts))
     stamp.touch()
     return str(hap0), str(hap1), str(reads)
 

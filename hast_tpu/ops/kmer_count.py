@@ -228,27 +228,159 @@ class Counter:
         return CountTable(u, c, self.k)
 
 
+_SENT = jnp.uint32(0xFFFFFFFF)
+
+
+@jax.jit
+def _merge_rle_kernel(hi: jax.Array, lo: jax.Array, counts: jax.Array):
+    """Sort (hi, lo, counts) by key and sum counts of equal keys.
+
+    Output keeps the input's physical size: slot g < n_groups holds
+    group g's key/total, later slots hold (SENTINEL, 0).  Sentinel keys
+    (invalid-window pads) collapse into one group whose count is forced
+    to 0, and n_unique excludes it — callers shrink to a power-of-two
+    prefix >= n_unique, so the host never sees pads.
+    """
+    hi, lo, counts = jax.lax.sort((hi, lo, counts), num_keys=2)
+    is_sent = (hi == _SENT) & (lo == _SENT)
+    counts = jnp.where(is_sent, 0, counts)
+    new = jnp.concatenate([
+        jnp.ones((1,), bool),
+        (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])])
+    tgt = jnp.cumsum(new.astype(jnp.int32)) - 1
+    n = hi.shape[0]
+    out_hi = jnp.full(n, _SENT).at[tgt].set(
+        jnp.where(is_sent, _SENT, hi), indices_are_sorted=True)
+    out_lo = jnp.full(n, _SENT).at[tgt].set(
+        jnp.where(is_sent, _SENT, lo), indices_are_sorted=True)
+    out_c = jnp.zeros(n, jnp.int32).at[tgt].add(
+        counts, indices_are_sorted=True)
+    n_unique = jnp.sum(new & ~is_sent, dtype=jnp.int32)
+    return out_hi, out_lo, out_c, n_unique
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad",))
+def _shrink(hi, lo, counts, n_pad: int):
+    return hi[:n_pad], lo[:n_pad], counts[:n_pad]
+
+
+class DeviceCounter:
+    """Streaming counter whose table lives in device HBM.
+
+    Where :class:`Counter` round-trips every sorted chunk through the
+    host (8 bytes per k-mer position — ruinous on low-bandwidth
+    device links, and the host merge fights the reader for CPU), this
+    keeps chunks on device, folds them into one sorted run-length
+    encoded run with on-device sort+segment-sum, and ships ONLY the
+    distinct (k-mer, count) rows at finalize — a factor of
+    total/distinct (~ coverage depth) less device->host traffic.
+    The jellyfish "-s MEM in-memory hash" analog with XLA-native ops
+    (build_unshared_kmers.sh:188); fold sizes are padded to powers of
+    two so compile count stays logarithmic.
+    """
+
+    def __init__(self, k: int, fold_above: int = 48_000_000):
+        self.k = k
+        self._chunks: list = []      # flat device (hi, lo), sorted+pads
+        self._chunk_elems = 0
+        self._run = None             # (hi, lo, counts int32) RLE'd, padded
+        self._run_valid = 0          # distinct keys in the run
+        self._fold_above = fold_above
+
+    def add_sorted_chunk(self, hi: jax.Array, lo: jax.Array) -> None:
+        hi = hi.reshape(-1)
+        lo = lo.reshape(-1)
+        self._chunks.append((hi, lo))
+        self._chunk_elems += hi.shape[0]
+        if self._chunk_elems >= self._fold_above:
+            self._fold()
+
+    def _fold(self) -> None:
+        if not self._chunks and self._run is not None:
+            return
+        his = [h for h, _ in self._chunks]
+        los = [l for _, l in self._chunks]
+        counts = [jnp.ones(h.shape[0], jnp.int32) for h in his]
+        if self._run is not None:
+            his.append(self._run[0])
+            los.append(self._run[1])
+            counts.append(self._run[2])
+        self._chunks = []
+        self._chunk_elems = 0
+        if not his:
+            return
+        hi = jnp.concatenate(his) if len(his) > 1 else his[0]
+        lo = jnp.concatenate(los) if len(los) > 1 else los[0]
+        cn = jnp.concatenate(counts) if len(counts) > 1 else counts[0]
+        rhi, rlo, rc, n_unique = _merge_rle_kernel(hi, lo, cn)
+        n = int(n_unique)            # scalar d2h; also drains the sort
+        n_pad = 1 << max(16, (max(1, n) - 1).bit_length())
+        if n_pad < rhi.shape[0]:
+            rhi, rlo, rc = _shrink(rhi, rlo, rc, n_pad)
+        self._run = (rhi, rlo, rc)
+        self._run_valid = n
+
+    def finalize(self) -> CountTable:
+        self._fold()
+        if self._run is None:
+            return CountTable(np.zeros(0, np.uint64),
+                              np.zeros(0, np.int64), self.k)
+        rhi, rlo, rc = self._run
+        n = self._run_valid
+        hi = np.asarray(rhi)[:n].astype(np.uint64)
+        lo = np.asarray(rlo)[:n].astype(np.uint64)
+        counts = np.asarray(rc)[:n].astype(np.int64)
+        return CountTable((hi << np.uint64(32)) | lo, counts, self.k)
+
+
 def count_batches(batches: Iterable, k: int,
-                  super_batch: int = 8) -> CountTable:
+                  super_batch: int = 8,
+                  engine: str = "device") -> CountTable:
     """Count canonical k-mers over an iterable of ReadBatches.
 
     Batches group into super-batches so each device interaction
-    (packed upload, dispatch, fetch) covers super_batch batches —
-    mirrors the classify pipeline's latency hiding.
+    (packed upload + dispatch) covers super_batch batches.
+
+    engine="device" (default): sorted chunks stay in HBM and fold via
+    :class:`DeviceCounter`; the host receives only the distinct rows.
+    engine="host": every sorted chunk is fetched and merged host-side
+    (:class:`Counter`) — the fallback when device memory is tight.
+    Identical tables either way.
     """
-    counter = Counter(k)
     S = super_batch
     buf: list = []
-    pending = None
 
-    def drain(p):
-        rhi = np.asarray(p[0])
-        rlo = np.asarray(p[1])
-        for s in range(p[2]):
-            counter.add_sorted_chunk(rhi[s], rlo[s])
+    if engine == "device":
+        dcounter = DeviceCounter(k)
+
+        def sink(res, n_used):
+            # trailing unused slices are all-sentinel; harmless to fold
+            dcounter.add_sorted_chunk(res[0][:n_used], res[1][:n_used])
+
+        def done():
+            return dcounter.finalize()
+    else:
+        counter = Counter(k)
+        pending: list = [None]
+
+        def sink(res, n_used):
+            if pending[0] is not None:
+                p = pending[0]
+                rhi, rlo = np.asarray(p[0]), np.asarray(p[1])
+                for s in range(p[2]):
+                    counter.add_sorted_chunk(rhi[s], rlo[s])
+            pending[0] = (res[0], res[1], n_used)
+
+        def done():
+            if pending[0] is not None:
+                p = pending[0]
+                rhi, rlo = np.asarray(p[0]), np.asarray(p[1])
+                for s in range(p[2]):
+                    counter.add_sorted_chunk(rhi[s], rlo[s])
+            return counter.finalize()
 
     def flush():
-        nonlocal pending, buf
+        nonlocal buf
         if not buf:
             return
         B = buf[0].seqs.shape[0]
@@ -263,15 +395,11 @@ def count_batches(batches: Iterable, k: int,
                                  jnp.asarray(lengths), k)
         n_used = len(buf)
         buf = []
-        if pending is not None:
-            drain(pending)
-        pending = (res[0], res[1], n_used)
+        sink(res, n_used)
 
     for batch in batches:
         buf.append(batch)
         if len(buf) >= S:
             flush()
     flush()
-    if pending is not None:
-        drain(pending)
-    return counter.finalize()
+    return done()

@@ -74,3 +74,26 @@ def test_find_bounds_awk_quirks():
     # monotonically falling histo: never leaves state 0
     b2 = M.find_bounds([(1, 10), (2, 5), (3, 1)])
     assert b2["MAX_INDEX"] == 0 and b2["MIN_INDEX"] == 3
+
+
+def test_device_counter_matches_host_counter():
+    """DeviceCounter (HBM-resident fold) == host Counter on the same
+    batches, including duplicate-heavy input and sentinel pads."""
+    import numpy as np
+    from hast_tpu.ops import kmer_count as KC
+
+    rng = np.random.default_rng(11)
+    B, L, k = 64, 64, 21
+    letters = np.frombuffer(b"ACGTN", np.uint8)
+    batches = []
+    for _ in range(7):
+        seqs = letters[rng.integers(0, 5, (B, L))]
+        # heavy duplication: repeat a few rows many times
+        seqs[1::3] = seqs[0]
+        lengths = rng.integers(k, L + 1, B).astype(np.int32)
+        batches.append(type("B", (), dict(seqs=seqs, lengths=lengths))())
+    dev = KC.count_batches(batches, k, super_batch=2, engine="device")
+    host = KC.count_batches(batches, k, super_batch=2, engine="host")
+    np.testing.assert_array_equal(dev.words, host.words)
+    np.testing.assert_array_equal(dev.counts, host.counts)
+    assert dev.total == host.total and dev.total > 0

@@ -92,3 +92,25 @@ def test_k15_bit_identical():
     C.run_classify(str(GOLD / "k15.hap0.mer"), str(GOLD / "k15.hap1.mer"),
                    [str(GOLD / "k15.fq")], out, w0=1.04, batch_size=2048)
     assert out.getvalue() == (GOLD / "k15.phased.golden").read_bytes()
+
+
+def test_fetch_acc_packed_overflow():
+    """_fetch_acc reconstructs int32 tallies exactly, including counts
+    past the uint16 low half and the raw-int32 fallback path."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    acc = rng.integers(0, 200, (4096, 3)).astype(np.int32)
+    # sprinkle large counts across both columns and rows
+    rows = rng.integers(0, 4096, 50)
+    acc[rows, rng.integers(0, 3, 50)] = rng.integers(
+        1 << 16, 1 << 30, 50).astype(np.int32)
+    got = C._fetch_acc(jnp.asarray(acc))
+    assert got.dtype == np.int64
+    np.testing.assert_array_equal(got, acc.astype(np.int64))
+
+    # force the fallback: more overflow rows than _OVER_CAP
+    big = np.full((C._OVER_CAP + 8, 3), 1 << 20, np.int32)
+    got = C._fetch_acc(jnp.asarray(big))
+    np.testing.assert_array_equal(got, big.astype(np.int64))
