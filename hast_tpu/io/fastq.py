@@ -145,22 +145,36 @@ def sequence_batches(path: str, k: int, batch_size: int = DEFAULT_BATCH,
     """
     fmt = detect_format(path)
 
+    skip = 0  # records already yielded by the native reader (fallback resume)
     if fmt == "fastq":
         # native fast path: decode + pack off the GIL
+        reader = None
         try:
             from hast_tpu.io.native import NativeFastqReader
             reader = NativeFastqReader(path, batch_size, len_cap=8192)
-            for b in reader:
-                yield ReadBatch(seqs=b.seqs, lengths=b.lengths,
-                                has_n=b.has_n, barcodes=[], n=b.n)
-            reader.close()
-            return
+            it = iter(reader)
         except (ImportError, RuntimeError, FileNotFoundError):
-            pass
+            reader = None
+        if reader is not None:
+            try:
+                for b in it:
+                    yield ReadBatch(seqs=b.seqs, lengths=b.lengths,
+                                    has_n=b.has_n, barcodes=[], n=b.n)
+                    skip += b.n
+                reader.close()
+                return
+            except RuntimeError:
+                # a read longer than len_cap mid-file: the batch that
+                # tripped the flag was NOT yielded.  Fall back to the
+                # python reader but resume AFTER the `skip` records
+                # already emitted, so nothing is double counted.
+                reader.close()
 
     def gen():
         if fmt == "fastq":
-            for _, seq, _, _ in fastq_records(path):
+            for i, (_, seq, _, _) in enumerate(fastq_records(path)):
+                if i < skip:
+                    continue
                 yield seq
         else:
             for _, seq in fasta_records(path):

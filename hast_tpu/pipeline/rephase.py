@@ -551,10 +551,21 @@ def mkoutput(assembly_path: str, prefix: str, paternal_mer: str,
         merge_phase_result(p, routed["father"], routed["mother"],
                            routed["ambiguous"])
         result = gen_sq(p, "pat" if prefer == "paternal" else "mat")
+        # final symlinks (mkoutput_by_fabulous2.0.sh:142-152): primary ->
+        # the preferred hap's fa; secondary -> the other hap's fa IF that
+        # file exists (GenSq only writes the preferred side, so secondary
+        # appears only when an earlier opposite-prefer run left its fa).
+        out_key = "father" if prefer == "paternal" else "mother"
+        other_key = "mother" if prefer == "paternal" else "father"
         primary = p + ".primary.fa"
         if not os.path.exists(primary):
-            os.symlink(os.path.basename(
-                result.get("father", result.get("mother"))), primary)
+            os.symlink(f"{p}.{out_key}.fa", primary)
+        secondary = p + ".secondary.fa"
+        other_fa = f"{p}.{other_key}.fa"
+        if os.path.exists(other_fa) and not os.path.exists(secondary):
+            os.symlink(other_fa, secondary)
+            result["secondary"] = secondary
+        result["primary"] = primary
         return result
     finally:
         os.chdir(cwd)

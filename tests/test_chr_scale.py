@@ -1,7 +1,8 @@
 """Chr-scale trio run (BASELINE.json config 4 shape), env-gated.
 
-Default run uses a small genome so CI stays fast; set
-HAST_CHR_SCALE_MB (e.g. 5) to stress a larger synthetic chromosome.
+Default is a 5 MB genome so table growth, DeviceCounter folds and
+accumulator growth are actually exercised in CI; set HAST_CHR_SCALE_MB
+to shrink (fast smoke) or stress a larger synthetic chromosome.
 Exercises: counting -> auto bounds -> markers -> sharded-table classify
 on the 8-device CPU mesh -> merge parity between the sharded run and
 the single-device run.
@@ -21,9 +22,10 @@ from hast_tpu.parallel import mesh as PM
 from hast_tpu.utils import synthetic as S
 
 
-SCALE_MB = float(os.environ.get("HAST_CHR_SCALE_MB", "0.2"))
+SCALE_MB = float(os.environ.get("HAST_CHR_SCALE_MB", "5"))
 
 
+@pytest.mark.slow
 def test_chr_scale_sharded_vs_single(tmp_path):
     length = int(SCALE_MB * 1_000_000)
     pat_g, mat_g = S.make_trio_genomes(seed=5150, length=length,

@@ -67,6 +67,33 @@ def test_native_long_reads_truncate():
     assert batches[0].lengths[0] == 3000
 
 
+def test_sequence_batches_fallback_no_double_count(tmp_path):
+    """A >len_cap read mid-file must not re-yield earlier records.
+
+    sequence_batches uses the native reader (len_cap=8192); when the
+    over-long read trips hastio_truncated mid-stream, the python
+    fallback must resume after the records already yielded, not restart
+    the file (regression for the round-2 double-count finding).
+    """
+    _native()
+    path = tmp_path / "long.fq"
+    with open(path, "wb") as f:
+        for i in range(40):
+            f.write(b"@a%d#1_2_3/1\nACGTACGTACGT\n+\nFFFFFFFFFFFF\n" % i)
+        f.write(b"@big#9_9_9/1\n" + b"C" * 9000 + b"\n+\n" + b"F" * 9000
+                + b"\n")
+        for i in range(40):
+            f.write(b"@b%d#4_5_6/1\nTTTTGGGGCCCC\n+\nFFFFFFFFFFFF\n" % i)
+
+    got = []
+    for batch in FQ.sequence_batches(str(path), k=5, batch_size=8):
+        for i in range(batch.n):
+            L = int(batch.lengths[i])
+            got.append(batch.seqs[i, :L].tobytes())
+    want = [seq for _, seq, _, _ in FQ.fastq_records(str(path))]
+    assert got == want
+
+
 def test_native_quarter_matches_python(tmp_path, monkeypatch):
     N = _native()
     import io

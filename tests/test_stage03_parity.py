@@ -41,6 +41,35 @@ def test_file_bit_identical(run_dir, name):
     assert ours == golden, name
 
 
+def test_symlinks(run_dir):
+    """primary always; secondary when the opposite fa exists
+    (mkoutput_by_fabulous2.0.sh:142-152)."""
+    primary = run_dir / "output.primary.fa"
+    assert primary.is_symlink()
+    assert primary.resolve().name == "output.father.fa"
+    # prefer=paternal run never wrote mother.fa -> no secondary
+    assert not (run_dir / "output.secondary.fa").exists()
+
+
+def test_secondary_symlink(tmp_path):
+    """Re-running with the opposite prefer in the same dir creates the
+    conditional secondary symlink like the reference driver."""
+    args = dict(assembly_path=str(GOLD / "assembly"), prefix="output",
+                paternal_mer=str(GOLD / "paternal.mer"),
+                maternal_mer=str(GOLD / "maternal.mer"),
+                workdir=str(tmp_path))
+    R.mkoutput(prefer="maternal", **args)
+    assert not (tmp_path / "output.secondary.fa").exists()
+    res = R.mkoutput(prefer="paternal", **args)
+    secondary = tmp_path / "output.secondary.fa"
+    assert secondary.is_symlink()
+    assert secondary.resolve().name == "output.mother.fa"
+    assert res["secondary"].endswith("output.secondary.fa")
+    # primary was created by the first (maternal) run and is not clobbered
+    assert (tmp_path / "output.primary.fa").resolve().name == \
+        "output.mother.fa"
+
+
 def test_classify_segments_fastq_mode():
     import io
     from hast_tpu.pipeline.rephase import classify_segments
