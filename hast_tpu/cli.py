@@ -89,6 +89,33 @@ def _add_classify(sub):
                    help="shard over local devices: DPxTP (e.g. 4x2; table over tp, reads over dp) or 'auto'")
 
     def run(a):
+        import os as _os
+        if int(_os.environ.get("HAST_NUM_PROCESSES", "1")) > 1:
+            # multi-host: jax.distributed first, before any backend use
+            from hast_tpu.parallel import distributed as D
+            D.initialize()
+            import jax
+            from hast_tpu.pipeline import classify as C
+            table = C.load_marker_table(a.hap0, a.hap1)
+            kw = {}
+            if a.adaptor_f is not None:
+                kw["adaptor_f"] = a.adaptor_f
+            if a.adaptor_r is not None:
+                kw["adaptor_r"] = a.adaptor_r
+            C.erase_adaptors(table, **kw)
+            tp = 1
+            if a.mesh and a.mesh != "auto":
+                _, tp = (int(x) for x in a.mesh.lower().split("x"))
+            tally = D.classify_fastqs_multihost(
+                table, _split_paths(a.read), batch_size=a.batch_size, tp=tp)
+            if jax.process_index() == 0:
+                out = sys.stdout.buffer if a.output == "-" \
+                    else open(a.output, "wb")
+                C.write_phased_barcodes(tally, table, out,
+                                        a.weight0, a.weight1)
+                if out is not sys.stdout.buffer:
+                    out.close()
+            return
         from hast_tpu.pipeline import classify as C
         out = sys.stdout.buffer if a.output == "-" else open(a.output, "wb")
         kw = {}

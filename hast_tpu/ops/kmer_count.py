@@ -228,7 +228,10 @@ class Counter:
         return CountTable(u, c, self.k)
 
 
-_SENT = jnp.uint32(0xFFFFFFFF)
+# plain numpy scalar: a module-level jnp constant would initialize the
+# XLA backend at import time (breaking jax.distributed.initialize and
+# any later platform selection)
+_SENT = np.uint32(0xFFFFFFFF)
 
 
 @jax.jit

@@ -53,31 +53,187 @@ def count_files_sharded(mesh, paths: Sequence[str], k: int,
     hash-routes (all_to_all over dp) and sorts; hosts RLE their local
     shard rows and union-sum at the end.  On a multi-host mesh each
     host only materializes its own devices' rows.
+
+    Capacity overflow (a batch whose k-mers land too unevenly across
+    hash ranges for the fixed all_to_all slots) is handled by retrying
+    the batch split in halves — each half has twice the per-destination
+    slack — rather than failing the whole count after the fact.
     """
     dp = mesh.shape["dp"]
     counter = KC.Counter(k)
-    import jax.numpy as jnp
-    dropped_total = 0
     for path in paths:
         for batch in FQ.sequence_batches(path, k, batch_size):
-            b = batch.seqs.shape[0]
-            rows = (b // dp) * dp
-            rhi, rlo, dropped = PM.sharded_count_chunk(
-                mesh, jnp.asarray(batch.seqs[:rows]),
-                jnp.asarray(batch.lengths[:rows]), k)
-            dropped_total += int(np.asarray(dropped).sum())
+            _count_batch_sharded(mesh, dp, counter, batch.seqs,
+                                 batch.lengths, k)
+    return counter.finalize()
+
+
+def _count_batch_sharded(mesh, dp, counter, seqs, lengths, k,
+                         depth: int = 0) -> None:
+    import jax.numpy as jnp
+    b = seqs.shape[0]
+    rows = (b // dp) * dp
+    if rows:
+        rhi, rlo, dropped = PM.sharded_count_chunk(
+            mesh, jnp.asarray(seqs[:rows]), jnp.asarray(lengths[:rows]), k)
+        if int(np.asarray(dropped).sum()):
+            # skewed hash split: halve the batch (doubles slack) and retry
+            if depth >= 6 or rows <= dp:
+                raise RuntimeError(
+                    "k-mers dropped by all_to_all capacity even at "
+                    f"batch of {rows} reads; pathological hash skew")
+            half = ((rows // 2) // dp) * dp or dp
+            _count_batch_sharded(mesh, dp, counter, seqs[:half],
+                                 lengths[:half], k, depth + 1)
+            _count_batch_sharded(mesh, dp, counter, seqs[half:rows],
+                                 lengths[half:rows], k, depth + 1)
+        else:
             rhi = np.asarray(rhi)
             rlo = np.asarray(rlo)
             for d in range(rhi.shape[0]):
                 counter.add_sorted_chunk(rhi[d], rlo[d])
-            # leftover rows (batch not divisible by dp) count host-side
-            if rows < b:
-                t = KC.count_batches([type("B", (), dict(
-                    seqs=batch.seqs[rows:],
-                    lengths=batch.lengths[rows:]))()], k)
-                counter.add_table(t)
-    if dropped_total:
-        raise RuntimeError(
-            f"{dropped_total} k-mers dropped by all_to_all capacity; "
-            "increase capacity slack")
+    # leftover rows (batch not divisible by dp) count host-side
+    if rows < b:
+        t = KC.count_batches([type("B", (), dict(
+            seqs=seqs[rows:], lengths=lengths[rows:]))()], k)
+        counter.add_table(t)
+
+
+# ---------------------------------------------------------------------------
+# multi-host (DCN) drivers
+# ---------------------------------------------------------------------------
+#
+# The reference's scale-out story is shard-by-input-file plus an offline
+# counter reduce (mergeResult.cpp:116-129; meryl.sh union-sum).  The
+# TPU-native formulation keeps that shape because it is the RIGHT shape
+# for a streaming, IO-bound reduction with a commutative merge:
+#
+#   * each host classifies/counts its own file shard on its OWN
+#     addressable devices (tp-sharding the marker table across local
+#     devices when it exceeds one chip's HBM) — no per-batch global
+#     collective, so hosts never stall on the slowest reader and the
+#     streaming path is identical to the single-host one;
+#   * ONE cross-host reduce at the end over DCN
+#     (multihost_utils.process_allgather of the per-host name/count
+#     tables), after which every process holds the identical global
+#     tally and process 0 emits the canonical output.
+#
+# A per-batch global dp mesh would force all hosts to step in lockstep
+# over DCN for a reduction that is commutative anyway — strictly worse.
+# Stage-00 counting at human scale (distinct set > one host) is the one
+# case that needs a global shuffle; count_files_sharded runs hash-range
+# all_to_all over whatever mesh it is given (ICI within a slice), and
+# its host-side union-sum reduce composes with the same DCN allgather.
+
+
+def _allgather_u8(arr: np.ndarray) -> list[np.ndarray]:
+    """Allgather a per-process variable-length uint8 array over DCN."""
+    from jax.experimental import multihost_utils as mh
+    arr = np.ascontiguousarray(arr, np.uint8)
+    sizes = np.asarray(mh.process_allgather(
+        np.asarray(arr.size, np.int64))).reshape(-1)
+    m = max(1, int(sizes.max()))
+    buf = np.zeros(m, np.uint8)
+    buf[:arr.size] = arr
+    gathered = np.asarray(mh.process_allgather(buf))
+    return [gathered[i, :int(sizes[i])] for i in range(sizes.size)]
+
+
+def allgather_tally(tally) -> None:
+    """Fold every process's BarcodeTally into every process (in place).
+
+    The DCN analog of mergeResult's offline shard reduce — one
+    allgather of (names, counts) at end-of-stream.  No-op when
+    single-process.
+    """
+    if jax.process_count() == 1:
+        return
+    names, counts = tally.finalize()
+    width = names.dtype.itemsize if names.size else 1
+    header = np.asarray([names.size, width], np.int64).view(np.uint8)
+    payload = np.concatenate([
+        header, names.view(np.uint8).reshape(-1),
+        np.ascontiguousarray(counts, np.int64).view(np.uint8).reshape(-1)])
+    me = jax.process_index()
+    for i, buf in enumerate(_allgather_u8(payload)):
+        if i == me:
+            continue
+        n, w = (int(x) for x in buf[:16].view(np.int64))
+        rnames = buf[16:16 + n * w].copy().view(f"S{w}")
+        # copy before the int64 view: the slice offset may be unaligned
+        rcounts = np.frombuffer(
+            buf[16 + n * w:16 + n * w + n * 24].tobytes(),
+            np.int64).reshape(n, 3)
+        tally.merge_names(rnames, rcounts)
+
+
+def allgather_count_table(table: KC.CountTable) -> KC.CountTable:
+    """Union-sum every process's CountTable across DCN (meryl union-sum
+    over the cluster).  Identity when single-process."""
+    if jax.process_count() == 1:
+        return table
+    me = jax.process_index()
+    payload = np.concatenate([
+        np.asarray([table.words.size], np.int64).view(np.uint8),
+        table.words.view(np.uint8).reshape(-1),
+        np.ascontiguousarray(table.counts, np.int64).view(np.uint8).reshape(-1),
+    ])
+    counter = KC.Counter(table.k)
+    counter.add_table(table)
+    for i, buf in enumerate(_allgather_u8(payload)):
+        if i == me:
+            continue
+        n = int(buf[:8].view(np.int64)[0])
+        words = buf[8:8 + n * 8].view(np.uint64).copy()
+        counts = buf[8 + n * 8:8 + n * 16].view(np.int64).copy()
+        counter.add_table(KC.CountTable(words, counts, table.k))
     return counter.finalize()
+
+
+def local_mesh(tp: int = 1):
+    """dp×tp mesh over THIS process's addressable devices."""
+    return PM.make_mesh(devices=jax.local_devices(), tp=tp)
+
+
+def classify_fastqs_multihost(table, paths: Sequence[str],
+                              batch_size: int = FQ.DEFAULT_BATCH,
+                              tp: int = 1):
+    """Multi-host stage-01 classify: file shards over hosts, table
+    replicated (tp=1) or tp-sharded across local devices, one DCN
+    reduce at the end.  Every process returns the identical global
+    tally; process 0 is the canonical writer.
+
+    Single-process this is exactly classify_fastqs (+ a no-op reduce),
+    so the same driver serves 1..N hosts.
+    """
+    from hast_tpu.pipeline import classify as C
+
+    local = shard_paths(list(paths))
+    if tp > 1:
+        tally = C.classify_fastqs_mesh(local_mesh(tp), table, local,
+                                       batch_size=batch_size) \
+            if local else C.BarcodeTally()
+    else:
+        tally = C.classify_fastqs(table, local, batch_size=batch_size) \
+            if local else C.BarcodeTally()
+    allgather_tally(tally)
+    return tally
+
+
+def count_files_multihost(paths: Sequence[str], k: int,
+                          batch_size: int = FQ.DEFAULT_BATCH,
+                          use_mesh: bool = False) -> KC.CountTable:
+    """Multi-host stage-00 counting: per-host shard count (optionally
+    hash-range sharded over the host's local devices), DCN union-sum.
+    Identical tables on every process."""
+    from hast_tpu.pipeline import markers as M
+
+    local = shard_paths(list(paths))
+    if use_mesh and len(jax.local_devices()) > 1:
+        table = count_files_sharded(local_mesh(), local, k, batch_size) \
+            if local else KC.CountTable(
+                np.zeros(0, np.uint64), np.zeros(0, np.int64), k)
+    else:
+        table = M.count_files(local, k, batch_size) if local else \
+            KC.CountTable(np.zeros(0, np.uint64), np.zeros(0, np.int64), k)
+    return allgather_count_table(table)
