@@ -161,6 +161,18 @@ class CountTable:
                 f.write(b"\n".join(s.tolist()) + b"\n")
         return int(s.size)
 
+    def save(self, path: str) -> None:
+        """Binary snapshot (the jellyfish .jf / meryl DB analog):
+        resumable stage-00 sub-steps reload this instead of recounting
+        (build_unshared_kmers.sh:167-298 keeps .jf files the same way)."""
+        np.savez(path, words=self.words, counts=self.counts,
+                 k=np.int64(self.k))
+
+    @classmethod
+    def load(cls, path: str) -> "CountTable":
+        z = np.load(path, allow_pickle=False)
+        return cls(z["words"], z["counts"], int(z["k"]))
+
 
 def words_to_strings(words: np.ndarray, k: int) -> np.ndarray:
     """uint64 canonical words -> jellyfish-representative byte strings."""

@@ -104,28 +104,49 @@ def build_unshared_markers(
 
     Returns paths of the two marker files (the stage 00/01 interface).
     """
+    from hast_tpu.utils.checkpoint import step
     from hast_tpu.utils.profiling import PhaseTimer
     timer = PhaseTimer(log=log)
     j = lambda name: os.path.join(out_dir, name)
     print("extract unique mers (TPU count tables) ...", file=log)
-    with timer.phase("count_maternal"):
-        mat = count_files(maternal, k, batch_size)
-    timer.add_items("count_maternal", mat.total)
-    with timer.phase("count_paternal"):
-        pat = count_files(paternal, k, batch_size)
-    timer.add_items("count_paternal", pat.total)
+
+    # resumable sub-steps with on-disk count-table snapshots — the
+    # reference guards each jellyfish invocation with step_NN_done and
+    # keeps the .jf DBs between them (build_unshared_kmers.sh:167-298);
+    # a crash after one parent's count no longer redoes it.
+    mat = pat = None
+    with step("00.1_count_maternal", out_dir, log=log) as todo:
+        if todo:
+            with timer.phase("count_maternal"):
+                mat = count_files(maternal, k, batch_size)
+            timer.add_items("count_maternal", mat.total)
+            mat.save(j("maternal.counts.npz"))
+    if mat is None:
+        mat = KC.CountTable.load(j("maternal.counts.npz"))
+    with step("00.2_count_paternal", out_dir, log=log) as todo:
+        if todo:
+            with timer.phase("count_paternal"):
+                pat = count_files(paternal, k, batch_size)
+            timer.add_items("count_paternal", pat.total)
+            pat.save(j("paternal.counts.npz"))
+    if pat is None:
+        pat = KC.CountTable.load(j("paternal.counts.npz"))
     print(f"  maternal: {mat.n_distinct} distinct / {mat.total} total "
           f"{k}-mers", file=log)
     print(f"  paternal: {pat.n_distinct} distinct / {pat.total} total "
           f"{k}-mers", file=log)
 
     m_rows, p_rows = histo_rows(mat), histo_rows(pat)
-    write_histo(m_rows, j("maternal.kmercount.histo"))
-    write_histo(p_rows, j("paternal.kmercount.histo"))
+    with step("00.3_bounds", out_dir, log=log) as todo:
+        if todo:
+            write_histo(m_rows, j("maternal.kmercount.histo"))
+            write_histo(p_rows, j("paternal.kmercount.histo"))
+            if auto_bounds:
+                mb, pb = find_bounds(m_rows), find_bounds(p_rows)
+                write_bounds(mb, j("maternal.bounds.txt"))
+                write_bounds(pb, j("paternal.bounds.txt"))
     if auto_bounds:
         mb, pb = find_bounds(m_rows), find_bounds(p_rows)
-        write_bounds(mb, j("maternal.bounds.txt"))
-        write_bounds(pb, j("paternal.bounds.txt"))
         m_lower, m_upper = mb["LOWER_INDEX"], mb["UPPER_INDEX"]
         p_lower, p_upper = pb["LOWER_INDEX"], pb["UPPER_INDEX"]
     print(f"  the real used kmer-count bounds of maternal is "
@@ -133,15 +154,22 @@ def build_unshared_markers(
     print(f"  the real used kmer-count bounds of paternal is "
           f"[ {p_lower} , {p_upper} ] ", file=log)
 
-    pat_final = pat.difference(mat).filter_range(p_lower, p_upper)
-    mat_final = mat.difference(pat).filter_range(m_lower, m_upper)
-
     paths = {
         "paternal": j("paternal.unique.filter.mer"),
         "maternal": j("maternal.unique.filter.mer"),
     }
-    n_p = pat_final.dump_mer_text(paths["paternal"])
-    n_m = mat_final.dump_mer_text(paths["maternal"])
+    with step("00.4_markers", out_dir, log=log) as todo:
+        if todo:
+            with timer.phase("marker_algebra"):
+                pat_final = pat.difference(mat).filter_range(
+                    p_lower, p_upper)
+                mat_final = mat.difference(pat).filter_range(
+                    m_lower, m_upper)
+            n_p = pat_final.dump_mer_text(paths["paternal"])
+            n_m = mat_final.dump_mer_text(paths["maternal"])
+        else:
+            n_p = sum(1 for _ in open(paths["paternal"], "rb"))
+            n_m = sum(1 for _ in open(paths["maternal"], "rb"))
     print(f"final paternal unique kmer is : {n_p}", file=log)
     print(f"final maternal unique kmer is : {n_m}", file=log)
     timer.report()

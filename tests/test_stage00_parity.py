@@ -97,3 +97,47 @@ def test_device_counter_matches_host_counter():
     np.testing.assert_array_equal(dev.words, host.words)
     np.testing.assert_array_equal(dev.counts, host.counts)
     assert dev.total == host.total and dev.total > 0
+
+
+def test_substep_resume_skips_finished_count(tmp_path, monkeypatch):
+    """Crash after the maternal count; the rerun must NOT recount it.
+
+    Mirrors the reference's step_NN_done + persistent .jf contract
+    (build_unshared_kmers.sh:167-298): each parent count snapshots to
+    <parent>.counts.npz guarded by its own marker.
+    """
+    mat = [str(GOLD / "maternal.reads.fa.gz")]
+    pat = [str(GOLD / "paternal.reads.fa.gz")]
+    real_count = M.count_files
+    calls = []
+
+    def crashing_count(paths, k, batch_size):
+        calls.append(tuple(paths))
+        if paths == pat:
+            raise KeyboardInterrupt("simulated crash mid-run")
+        return real_count(paths, k, batch_size)
+
+    monkeypatch.setattr(M, "count_files", crashing_count)
+    with pytest.raises(KeyboardInterrupt):
+        M.build_unshared_markers(paternal=pat, maternal=mat,
+                                 out_dir=str(tmp_path), auto_bounds=True,
+                                 batch_size=16384)
+    assert (tmp_path / "step_00.1_count_maternal_done").exists()
+    assert (tmp_path / "maternal.counts.npz").exists()
+    assert not (tmp_path / "step_00.2_count_paternal_done").exists()
+
+    def second_run_count(paths, k, batch_size):
+        assert paths != mat, "maternal count was redone after resume"
+        calls.append(tuple(paths))
+        return real_count(paths, k, batch_size)
+
+    monkeypatch.setattr(M, "count_files", second_run_count)
+    paths = M.build_unshared_markers(paternal=pat, maternal=mat,
+                                     out_dir=str(tmp_path),
+                                     auto_bounds=True, batch_size=16384)
+    for p in paths.values():
+        assert pathlib.Path(p).exists()
+    # all four sub-step markers now present
+    for s in ("00.1_count_maternal", "00.2_count_paternal",
+              "00.3_bounds", "00.4_markers"):
+        assert (tmp_path / f"step_{s}_done").exists()
