@@ -209,15 +209,59 @@ def _measure(done):
         log("WARNING: output mismatch vs reference!")
 
     value = N_READS / ours_s
-    result = json.dumps({
+    fields = {
         "metric": "classify_reads_per_s",
         "value": round(value),
         "unit": "reads/s",
         "vs_baseline": round(ref_s / ours_s, 3),
-    })
+    }
+    try:
+        fields.update(_measure_count(reads))
+    except Exception as e:
+        log(f"count bench skipped: {e}")
+    result = json.dumps(fields)
     (CACHE / "last_result.json").write_text(result + "\n")
     print(result)
     done.set()
+
+
+def _measure_count(reads):
+    """Stage-00 counting throughput vs the bundled jellyfish binary
+    (BASELINE.md 'parental k-mers/s counted'); extra fields folded into
+    the headline JSON line so the driver's one-line contract holds."""
+    if os.environ.get("HAST_BENCH_SKIP_COUNT"):
+        return {}
+    from hast_tpu.pipeline.markers import count_files
+
+    t0 = time.perf_counter()
+    table = count_files([reads], K)
+    cold_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    table = count_files([reads], K)
+    ours_s = min(cold_s, time.perf_counter() - t0)
+    kmers = table.total
+    log(f"count ours: {ours_s:.2f}s (cold {cold_s:.2f}s) -> "
+        f"{kmers / ours_s:,.0f} kmers/s")
+
+    jelly = ("/root/reference/00.build_unshare_kmers_by_jellyfish/"
+             "jellyfish-linux")
+    jf_cache = CACHE / f"jf_time_{N_MARKERS}_{N_READS}.json"
+    if jf_cache.exists():
+        jf_s = json.loads(jf_cache.read_text())["seconds"]
+        log(f"jellyfish (cached): {jf_s:.2f}s")
+    else:
+        threads = os.cpu_count() or 8
+        t0 = time.perf_counter()
+        subprocess.run([jelly, "count", "-m", str(K), "-s", "1G",
+                        "-t", str(threads), "-C", "-o",
+                        str(CACHE / "bench.jf"), reads], check=True,
+                       stdout=subprocess.DEVNULL,
+                       stderr=subprocess.DEVNULL)
+        jf_s = time.perf_counter() - t0
+        jf_cache.write_text(json.dumps({"seconds": jf_s}))
+        log(f"jellyfish count: {jf_s:.2f}s -> {kmers / jf_s:,.0f} kmers/s")
+    return {"count_kmers_per_s": round(kmers / ours_s),
+            "count_vs_jellyfish": round(jf_s / ours_s, 3)}
 
 
 if __name__ == "__main__":

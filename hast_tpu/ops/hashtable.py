@@ -7,31 +7,39 @@ with a 2-bit membership payload, so the inner loop does a fixed TWO
 row-gathers per k-mer (the reference does ~2 hash probes per set, 4
 chains total).
 
-Layout
-------
-``data``: (n_buckets, 2*BUCKET) uint32.  Bucket row = BUCKET slots of
-(hi_word, lo_word) pairs, interleaved ``[hi0, lo0, hi1, lo1, ...]`` so a
-single row-gather fetches a whole bucket.  A slot's hi word packs the
-canonical k-mer's high 2k-32 bits (< 2**30 for k <= 31) plus the 2-bit
-payload at bits 30..31.  Empty slot = (0xFFFFFFFF, 0xFFFFFFFF), which no
-canonical k-mer can equal (poly-G is never canonical), so empty slots
-can never match a query and need no explicit emptiness test.
+Two slot formats share the 2-choice placement (choice is static per
+table; PERF.md has the measurements):
 
-BUCKET=2 (16-byte rows) is chosen from a measured v5e gather-cost
-curve: XLA's row gather is dominated by per-row latency but still
-scales with row bytes (64B rows: 122M gathers/s; 16B rows: 199M/s;
-8B: 207M/s).  Two slots per bucket keeps the (2,2)-cuckoo build easy
-(load threshold ~0.9) at ~96% of the 8-byte-row probe speed.
+"full" — slot = (hi_word, lo_word) 8 B, bucket row = 2 slots = 16 B.
+  A slot's hi word packs the canonical k-mer's high 2k-32 bits
+  (< 2**30 for k <= 31) plus the 2-bit payload at bits 30..31.  Empty
+  slot = (0xFFFFFFFF, 0xFFFFFFFF), which no canonical k-mer can equal
+  (poly-G is never canonical), so empty slots can never match a query.
+  Works for every k <= 31.
 
-Placement is 2-choice hashing: a key lives in bucket ``hash1 & mask``
-or ``hash2 & mask`` — lookups are exactly two row-gathers regardless of
-load (XLA unrolls both; no data-dependent loop).  Insertion is
-host-side numpy: round 0 fills home buckets vectorized, round 1 spills
-the overflow to the alternate bucket; the few stragglers (avg bucket
-occupancy is <= load) go through a classic cuckoo random-walk eviction
-loop, and only if an eviction chain exceeds its kick budget does the
-table double and retry.  Build cost is one-time and snapshot-cached
-(.probetable.npz).
+"quot" — slot = 4 B quotient, bucket row = 4 slots = 16 B.  The 2k-bit
+  key runs through an invertible unbalanced-Feistel permutation; the
+  low ``bbits`` bits select the home bucket and the remaining
+  ``2k - bbits`` bits are stored as the slot's quotient (lossless, so
+  membership stays EXACT — no cuckoo-filter false positives).  The
+  alternate bucket is ``b ^ (odd_mix(q))`` (partial-key cuckoo); a
+  1-bit ``which`` flag per slot disambiguates home-vs-alternate so the
+  stored key is uniquely reconstructible.  Slot bits: q (<= 29) |
+  which << 29 | payload << 30; payload 0 marks an empty slot and
+  contributes nothing to the probe OR, so no emptiness test is needed.
+  Requires ``2k - log2(n_buckets) <= 29``; k = 21 default always fits.
+  4x smaller than "full", which both quadruples the human-scale
+  HBM headroom and moves bench-scale tables into the faster gather
+  regime (measured on v5e: the identical 2-gather probe runs 101
+  Mprobe/s on a 2^20-row table vs 74.6 Mprobe/s on 2^21 rows).
+
+Lookups are exactly two row-gathers regardless of load (XLA unrolls
+both; no data-dependent loop).  Insertion is host-side numpy on
+precomputed (b1, b2) arrays: round 0 fills home buckets vectorized,
+round 1 spills the overflow to the alternate bucket; the few
+stragglers go through a cuckoo random-walk eviction loop, and only if
+that fails does the table double and retry.  Build cost is one-time
+and snapshot-cached (.probetable.npz).
 """
 
 from __future__ import annotations
@@ -90,17 +98,23 @@ def _hash_round(rnd: int, hi, lo, xp=np):
     return kmer_hash(hi, lo, xp) if rnd == 0 else kmer_hash2(hi, lo, xp)
 
 
+QUOT_BUCKET = 4                  # slots per bucket in the "quot" format
+_WHICH_SHIFT = np.uint32(29)
+_QMASK = np.uint32((1 << 29) - 1)
+
+
 @dataclasses.dataclass
 class KmerTable:
     """Host handle for a built table (device arrays + static metadata)."""
 
-    data: np.ndarray          # (n_buckets, 2*BUCKET) uint32
+    data: np.ndarray          # (n_buckets, 2*BUCKET | QUOT_BUCKET) uint32
     n_buckets: int            # power of two
     max_probe: int            # hash choices scanned by lookups (== 2)
     k: int
     n_keys: int               # distinct canonical keys stored
     set_sizes: tuple[int, ...] = ()  # per-haplotype set size (for getHap)
     cache_key: tuple = ()     # snapshot identity (device-upload reuse)
+    fmt: str = "full"         # "full" (8B slots) | "quot" (4B slots)
 
     def device_put(self, sharding=None):
         self.data = jax.device_put(jnp.asarray(self.data), sharding)
@@ -111,102 +125,172 @@ def _next_pow2(x: int) -> int:
     return 1 << max(0, (x - 1).bit_length())
 
 
-def _try_place(hi, lo, hi_packed, n_buckets: int):
-    """One 2-round placement attempt; returns table or None."""
-    mask = np.uint32(n_buckets - 1)
-    data = np.full((n_buckets, 2 * BUCKET), EMPTY, np.uint32)
+# ---------------------------------------------------------------------------
+# "quot" format: invertible key permutation + quotient/bucket split
+# ---------------------------------------------------------------------------
+
+_FC = (np.uint32(0x9E3779B9), np.uint32(0x85EBCA6B),
+       np.uint32(0xC2B2AE35), np.uint32(0x27D4EB2F))
+
+
+def _feistel_halves(hi, lo, k: int, xp):
+    """4-round balanced Feistel permutation of the 2k-bit key.
+
+    Splits the key into two k-bit halves (A = top, B = bottom) and
+    mixes with murmur fmix32 round functions.  A permutation by
+    construction, so distinct keys keep distinct images — the quotient
+    encoding stays lossless/exact.  Returns (A, B) uint32 halves.
+    """
+    kmask = xp.uint32((1 << k) - 1)
+    hi = xp.asarray(hi, xp.uint32)
+    lo = xp.asarray(lo, xp.uint32)
+    if k == 32:
+        raise ValueError("k <= 31 only")
+    A = ((hi << xp.uint32(32 - k)) | (lo >> xp.uint32(k))) & kmask
+    B = lo & kmask
+    for i, c in enumerate(_FC):
+        if xp is np:
+            f = _mix((B * _M1).astype(np.uint32) + c, xp) & kmask \
+                if i % 2 == 0 else \
+                _mix((A * _M1).astype(np.uint32) + c, xp) & kmask
+        else:
+            f = _mix(B * _M1 + c, xp) & kmask if i % 2 == 0 else \
+                _mix(A * _M1 + c, xp) & kmask
+        if i % 2 == 0:
+            A = A ^ f
+        else:
+            B = B ^ f
+    return A, B
+
+
+def _quot_bucket_q(hi, lo, k: int, bbits: int, xp=np):
+    """(b1, q) of the quotient format: b1 = low bbits of the permuted
+    key, q = the remaining 2k - bbits bits (must be <= 29)."""
+    A, B = _feistel_halves(hi, lo, k, xp)
+    if bbits <= k:
+        b1 = B & xp.uint32((1 << bbits) - 1)
+        if bbits == k:
+            q = A
+        else:
+            q = (B >> xp.uint32(bbits)) | (A << xp.uint32(k - bbits))
+    else:
+        b1 = (B | (A << xp.uint32(k))) & xp.uint32((1 << bbits) - 1) \
+            if bbits < 32 else (B | (A << xp.uint32(k)))
+        q = A >> xp.uint32(bbits - k)
+    return b1, q
+
+
+def _quot_alt(b1, q, bbits: int, xp=np):
+    """Alternate bucket: b1 ^ odd_mix(q) (partial-key cuckoo; the xor
+    delta is forced odd so b2 != b1)."""
+    mask = xp.uint32((1 << bbits) - 1)
+    if xp is np:
+        g = (_mix((q * _GOLD).astype(np.uint32), xp) | np.uint32(1)) & mask
+    else:
+        g = (_mix(q * _GOLD, xp) | xp.uint32(1)) & mask
+    return b1 ^ g
+
+
+# ---------------------------------------------------------------------------
+# generic 2-choice placement on precomputed (b1, b2) arrays
+# ---------------------------------------------------------------------------
+
+
+def _assign_2choice(b1, b2, n_buckets: int, bucket: int):
+    """Place each key in bucket b1[i] or b2[i]; returns (row, slot)
+    int64 arrays or None (caller doubles the table and retries).
+
+    Round 0 fills home buckets vectorized, round 1 the alternates;
+    stragglers go through a vectorized cuckoo random-walk (one actor
+    per bucket per round evicts a random occupant, which re-enters
+    headed for its other choice).  Deterministic (seeded by n_buckets).
+    """
+    n = b1.size
+    row = np.full(n, -1, np.int64)
+    slot = np.full(n, -1, np.int64)
+    occ = np.full((n_buckets, bucket), -1, np.int64)   # occupant key idx
     occupancy = np.zeros(n_buckets, np.int64)
-    pending = np.arange(hi.size)
-    for rnd in (0, 1):
+    pending = np.arange(n)
+    for b_all in (b1, b2):
         if not pending.size:
             break
-        b = _hash_round(rnd, hi[pending], lo[pending]) & mask
-        order = np.argsort(b, kind="stable")
-        pend_s, b_s = pending[order], np.asarray(b[order], np.int64)
+        bb = np.asarray(b_all[pending], np.int64)
+        order = np.argsort(bb, kind="stable")
+        pend_s, b_s = pending[order], bb[order]
         first = np.empty(b_s.size, bool)
-        if b_s.size:
-            first[0] = True
-            first[1:] = b_s[1:] != b_s[:-1]
+        first[0] = True
+        first[1:] = b_s[1:] != b_s[:-1]
         grp_start = np.maximum.accumulate(
             np.where(first, np.arange(b_s.size), 0))
         rank = np.arange(b_s.size) - grp_start
-        free = BUCKET - occupancy[b_s]
+        free = bucket - occupancy[b_s]
         place = rank < free
-        slot = occupancy[b_s] + rank
-        tgt_b, tgt_s, keys = b_s[place], slot[place], pend_s[place]
-        data[tgt_b, 2 * tgt_s] = hi_packed[keys]
-        data[tgt_b, 2 * tgt_s + 1] = lo[keys]
+        tslot = occupancy[b_s] + rank
+        keys = pend_s[place]
+        row[keys] = b_s[place]
+        slot[keys] = tslot[place]
+        occ[b_s[place], tslot[place]] = keys
         np.add.at(occupancy, b_s[place], 1)
         pending = pend_s[~place]
-    if pending.size == 0:
-        return data
-    if _evict_place(data, hi, lo, hi_packed, pending, n_buckets):
-        return data
-    return None
+    if pending.size and not _walk_2choice(b1, b2, row, slot, occ,
+                                          n_buckets, bucket, pending):
+        return None
+    return row, slot
 
 
-def _evict_place(data, hi, lo, hi_packed, pending, n_buckets: int,
-                 max_rounds: int = 4096) -> bool:
-    """Cuckoo random-walk insertion for the greedy rounds' stragglers.
-
-    Vectorized bulk rounds: every round, ONE pending key per bucket
-    (the "actor") either takes a free slot or evicts a random occupant
-    (which joins the pending set headed for its other choice); the
-    rest flip to their alternate bucket and retry.  All numpy — builds
-    stay fast even when the pow2 table lands at ~0.85 load (the scalar
-    per-key walk took tens of seconds there).  Deterministic (seeded
-    by n_buckets).  Returns False if the walk exhausts max_rounds
-    (caller doubles the table).
-    """
-    mask = np.int64(n_buckets - 1)
+def _walk_2choice(b1, b2, row, slot, occ, n_buckets: int, bucket: int,
+                  pending, max_rounds: int = 4096) -> bool:
     rng = np.random.default_rng(n_buckets)  # deterministic builds
-    cur_hp = hi_packed[pending].copy()
-    cur_lo = lo[pending].copy()
-    rnd = np.zeros(pending.size, np.int8)
+    cur = pending.copy()
+    tgt = np.asarray(b2[cur], np.int64)      # greedy rounds tried b1 first
     for _ in range(max_rounds):
-        if cur_hp.size == 0:
+        if cur.size == 0:
             return True
-        cur_hi = cur_hp & HI_MASK
-        b0 = (kmer_hash(cur_hi, cur_lo).astype(np.int64)) & mask
-        b1 = (kmer_hash2(cur_hi, cur_lo).astype(np.int64)) & mask
-        b = np.where(rnd == 0, b0, b1)
-        # one actor per bucket: first pending key targeting it
-        order = np.argsort(b, kind="stable")
-        b_s = b[order]
-        first = np.ones(b_s.size, bool)
-        first[1:] = b_s[1:] != b_s[:-1]
+        order = np.argsort(tgt, kind="stable")
+        t_s = tgt[order]
+        first = np.ones(t_s.size, bool)
+        first[1:] = t_s[1:] != t_s[:-1]
         actors = order[first]
-        ab = b[actors]
-        rows = data[ab]                       # (A, 2*BUCKET)
-        free = (rows[:, 0::2] == EMPTY) & (rows[:, 1::2] == EMPTY)
+        ab = tgt[actors]
+        free = occ[ab] < 0                   # (A, bucket)
         has_free = free.any(axis=1)
-        slot = np.where(has_free, np.argmax(free, axis=1),
-                        rng.integers(0, BUCKET, actors.size))
-        ev_hp = data[ab, 2 * slot].copy()
-        ev_lo = data[ab, 2 * slot + 1].copy()
-        data[ab, 2 * slot] = cur_hp[actors]
-        data[ab, 2 * slot + 1] = cur_lo[actors]
-        # evicted keys re-enter headed for their OTHER choice
-        kicked = ~has_free
-        k_hp, k_lo, k_b = ev_hp[kicked], ev_lo[kicked], ab[kicked]
-        k_b0 = (kmer_hash(k_hp & HI_MASK, k_lo).astype(np.int64)) & mask
-        k_rnd = np.where(k_b0 == k_b, 1, 0).astype(np.int8)
-        # survivors: everyone who wasn't an actor, alternated
-        keep = np.ones(cur_hp.size, bool)
+        sl = np.where(has_free, np.argmax(free, axis=1),
+                      rng.integers(0, bucket, actors.size))
+        victims = occ[ab, sl].copy()         # -1 where slot was free
+        keys = cur[actors]
+        occ[ab, sl] = keys
+        row[keys] = ab
+        slot[keys] = sl
+        kicked = victims[~has_free]
+        k_b1 = np.asarray(b1[kicked], np.int64)
+        k_tgt = np.where(k_b1 == row[kicked],
+                         np.asarray(b2[kicked], np.int64), k_b1)
+        row[kicked] = -1
+        slot[kicked] = -1
+        keep = np.ones(cur.size, bool)
         keep[actors] = False
-        cur_hp = np.concatenate([cur_hp[keep], k_hp])
-        cur_lo = np.concatenate([cur_lo[keep], k_lo])
-        rnd = np.concatenate([rnd[keep] ^ 1, k_rnd])
+        # survivors flip to their other choice
+        s_cur = cur[keep]
+        s_tgt = np.where(tgt[keep] == np.asarray(b1[s_cur], np.int64),
+                         np.asarray(b2[s_cur], np.int64),
+                         np.asarray(b1[s_cur], np.int64))
+        cur = np.concatenate([s_cur, kicked])
+        tgt = np.concatenate([s_tgt, k_tgt])
     return False
 
 
 def build_table(hi, lo, payload, k: int, load: float = 0.35,
-                set_sizes: tuple[int, ...] = ()) -> KmerTable:
+                set_sizes: tuple[int, ...] = (),
+                fmt: str = "auto") -> KmerTable:
     """Build a probe table from canonical k-mer arrays.
 
     Duplicate keys are merged by OR-ing payloads (a marker present in
     both haplotype sets gets payload 3 — the reference keeps it in both
     unordered_sets, which is the same observable behavior).
+
+    fmt: "auto" picks "quot" (4B slots, 4x smaller, faster gathers)
+    whenever the quotient fits a slot (2k - log2(n_buckets) <= 29),
+    else "full"; pass "full"/"quot" to force.
     """
     hi = np.asarray(hi, np.uint32)
     lo = np.asarray(lo, np.uint32)
@@ -223,13 +307,47 @@ def build_table(hi, lo, payload, k: int, load: float = 0.35,
         np.bitwise_or.at(pay, group, payload)
         hi, lo, payload = hi[new], lo[new], pay
     n = hi.size
+
+    if fmt == "auto":
+        nb_q = _next_pow2(max(1, int(np.ceil(n / (QUOT_BUCKET * load)))))
+        fmt = "quot" if 2 * k - nb_q.bit_length() + 1 <= 29 else "full"
+
+    if fmt == "quot":
+        n_buckets = _next_pow2(max(1, int(np.ceil(n / (QUOT_BUCKET * load)))))
+        while True:
+            bbits = n_buckets.bit_length() - 1
+            if 2 * k - bbits > 29:
+                n_buckets *= 2
+                continue
+            b1, q = _quot_bucket_q(hi, lo, k, bbits)
+            b2 = _quot_alt(b1, q, bbits)
+            asg = _assign_2choice(b1, b2, n_buckets, QUOT_BUCKET)
+            if asg is not None:
+                break
+            n_buckets *= 2
+        row, slot = asg
+        data = np.zeros((n_buckets, QUOT_BUCKET), np.uint32)
+        which = (row != np.asarray(b1, np.int64)).astype(np.uint32)
+        data[row, slot] = (q & _QMASK) | (which << _WHICH_SHIFT) \
+            | (payload << PAYLOAD_SHIFT)
+        return KmerTable(data=data, n_buckets=n_buckets, max_probe=2,
+                         k=k, n_keys=n, set_sizes=tuple(set_sizes),
+                         fmt="quot")
+
     n_buckets = _next_pow2(max(1, int(np.ceil(n / (BUCKET * load)))))
     hi_packed = hi | (payload << PAYLOAD_SHIFT)
     while True:
-        data = _try_place(hi, lo, hi_packed, n_buckets)
-        if data is not None:
+        mask = np.uint32(n_buckets - 1)
+        b1 = kmer_hash(hi, lo) & mask
+        b2 = kmer_hash2(hi, lo) & mask
+        asg = _assign_2choice(b1, b2, n_buckets, BUCKET)
+        if asg is not None:
             break
         n_buckets *= 2
+    row, slot = asg
+    data = np.full((n_buckets, 2 * BUCKET), EMPTY, np.uint32)
+    data[row, 2 * slot] = hi_packed
+    data[row, 2 * slot + 1] = lo
     return KmerTable(data=data, n_buckets=n_buckets, max_probe=2,
                      k=k, n_keys=n, set_sizes=tuple(set_sizes))
 
@@ -260,10 +378,59 @@ def probe(data: jax.Array, q_hi: jax.Array, q_lo: jax.Array,
     return res.astype(jnp.int32).reshape(shape)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def probe_quot(data: jax.Array, q_hi: jax.Array, q_lo: jax.Array,
+               k: int) -> jax.Array:
+    """Membership payload lookup in a "quot"-format table.
+
+    Same two row-gathers as :func:`probe`; rows are 4 quotient slots.
+    Exact: the quotient is the lossless remainder of the permuted key,
+    and the which-bit pins home-vs-alternate placement, so a slot
+    matches iff it stores precisely the queried k-mer.
+    """
+    n_buckets = data.shape[0]
+    bbits = n_buckets.bit_length() - 1
+    shape = q_hi.shape
+    q_hi = q_hi.reshape(-1).astype(jnp.uint32)
+    q_lo = q_lo.reshape(-1).astype(jnp.uint32)
+    b1, q = _quot_bucket_q(q_hi, q_lo, k, bbits, jnp)
+    b2 = _quot_alt(b1, q, bbits, jnp)
+    res = jnp.zeros(q.shape, jnp.uint32)
+    for rnd, b in enumerate((b1, b2)):
+        rows = jnp.take(data, b.astype(jnp.int32), axis=0)  # (N, 4)
+        qf = rows & _QMASK
+        which = (rows >> _WHICH_SHIFT) & 1
+        pay = rows >> PAYLOAD_SHIFT
+        hit = (qf == q[:, None]) & (which == rnd)
+        res = res | jnp.max(jnp.where(hit, pay, 0), axis=1)
+    return res.astype(jnp.int32).reshape(shape)
+
+
+def probe_table(data, q_hi, q_lo, k: int, fmt: str,
+                max_probe: int = 2):
+    """Format dispatch usable both standalone and inside other jits."""
+    if fmt == "quot":
+        return probe_quot(data, q_hi, q_lo, k)
+    return probe(data, q_hi, q_lo, max_probe)
+
+
 def probe_np(table: KmerTable, q_hi, q_lo):
     """Host-side twin of :func:`probe` (for tests and small inputs)."""
     q_hi = np.asarray(q_hi, np.uint32).reshape(-1)
     q_lo = np.asarray(q_lo, np.uint32).reshape(-1)
+    if table.fmt == "quot":
+        bbits = table.n_buckets.bit_length() - 1
+        b1, q = _quot_bucket_q(q_hi, q_lo, table.k, bbits)
+        b2 = _quot_alt(b1, q, bbits)
+        res = np.zeros(q.shape, np.uint32)
+        for rnd, b in enumerate((b1, b2)):
+            rows = table.data[b.astype(np.int64)]
+            qf = rows & _QMASK
+            which = (rows >> _WHICH_SHIFT) & 1
+            pay = rows >> PAYLOAD_SHIFT
+            hit = (qf == q[:, None]) & (which == rnd)
+            res |= np.max(np.where(hit, pay, 0), axis=1).astype(np.uint32)
+        return res.astype(np.int32)
     mask = np.uint32(table.n_buckets - 1)
     res = np.zeros(q_hi.shape, np.uint32)
     for rnd in range(table.max_probe):
@@ -288,10 +455,40 @@ def remove_keys(table: KmerTable, hi, lo, payload_mask: int,
     """
     hi = np.asarray(hi, np.uint32).reshape(-1)
     lo = np.asarray(lo, np.uint32).reshape(-1)
-    mask = np.uint32(table.n_buckets - 1)
     cleared = []
     sizes = list(table.set_sizes)
     seen = set()
+
+    if table.fmt == "quot":
+        bbits = table.n_buckets.bit_length() - 1
+        b1a, qa = _quot_bucket_q(hi, lo, table.k, bbits)
+        b2a = _quot_alt(b1a, qa, bbits)
+        for i in range(hi.size):
+            key = (int(hi[i]), int(lo[i]))
+            if key in seen:
+                continue
+            seen.add(key)
+            for rnd, b in enumerate((int(b1a[i]), int(b2a[i]))):
+                row = table.data[b]
+                for s in range(QUOT_BUCKET):
+                    w = int(row[s])
+                    if (w & int(_QMASK)) == int(qa[i]) and \
+                            ((w >> int(_WHICH_SHIFT)) & 1) == rnd:
+                        pay = w >> int(PAYLOAD_SHIFT)
+                        bits = pay & payload_mask
+                        if bits:
+                            new_pay = pay & ~payload_mask
+                            table.data[b, s] = np.uint32(
+                                (w & 0x3FFFFFFF)
+                                | (new_pay << int(PAYLOAD_SHIFT)))
+                            cleared.append((key[0], key[1], bits))
+                            for hap in range(len(sizes)):
+                                if bits & (1 << hap):
+                                    sizes[hap] -= 1
+        table.set_sizes = tuple(sizes)
+        return cleared
+
+    mask = np.uint32(table.n_buckets - 1)
     for i in range(hi.size):
         key = (int(hi[i]), int(lo[i]))
         if key in seen:

@@ -83,6 +83,41 @@ def count_kernel_multi(packed: jax.Array, good_packed: jax.Array,
     return jax.lax.map(one, (packed, good_packed, lengths))
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def count_kernel_multi_range(packed: jax.Array, good_packed: jax.Array,
+                             lengths: jax.Array, k: int,
+                             lo_hi: jax.Array, lo_lo: jax.Array,
+                             hi_hi: jax.Array, hi_lo: jax.Array):
+    """:func:`count_kernel_multi` restricted to canonical keys in
+    ``[(lo_hi, lo_lo), (hi_hi, hi_lo))`` — key-space bounds as uint32
+    word pairs (traced scalars; x64 stays off).
+
+    The multi-pass partitioned counter uses this to keep only one key
+    range's k-mers per pass — out-of-range windows become sentinel pads
+    exactly like invalid windows, so the sort/RLE path is unchanged.
+    """
+
+    def one(args):
+        p, g, lens = args
+        b, lp = p.shape
+        shifts = jnp.arange(4, dtype=jnp.int32) * 2
+        codes = ((p.astype(jnp.int32)[:, :, None] >> shifts[None, None, :])
+                 & 3).reshape(b, lp * 4)
+        bit = jnp.arange(8, dtype=jnp.int32)
+        good = (((g.astype(jnp.int32)[:, :, None] >> bit[None, None, :])
+                 & 1) == 1).reshape(b, lp * 4)
+        hi, lo = E.canonical_kmers(codes, k)
+        valid = E.window_valid(good, lens, k)
+        ge_lo = (hi > lo_hi) | ((hi == lo_hi) & (lo >= lo_lo))
+        lt_hi = (hi < hi_hi) | ((hi == hi_hi) & (lo < hi_lo))
+        valid = valid & ge_lo & lt_hi
+        hi = jnp.where(valid, hi, jnp.uint32(0xFFFFFFFF)).reshape(-1)
+        lo = jnp.where(valid, lo, jnp.uint32(0xFFFFFFFF)).reshape(-1)
+        return jax.lax.sort((hi, lo), num_keys=2)
+
+    return jax.lax.map(one, (packed, good_packed, lengths))
+
+
 def pack_good_np(seqs_u8: np.ndarray) -> np.ndarray:
     """(…, L) ASCII -> (…, L/8) uint8 ACGT-validity bitmask."""
     good = _ACGT[seqs_u8].astype(np.uint8)
@@ -418,3 +453,96 @@ def count_batches(batches: Iterable, k: int,
             flush()
     flush()
     return done()
+
+
+def estimate_boundaries(batches_sample, k: int, n_parts: int) -> np.ndarray:
+    """Key-space split points equalizing mass, from a sample's sorted
+    canonical k-mers.  Canonical keys are NOT uniform over the 2^(2k)
+    space (canonical = min(fwd, rc) skews low), so fixed even splits
+    would unbalance passes badly; quantiles of a sample fix that.
+    Returns (n_parts + 1,) uint64 ascending bounds, [0, 2^64) padded.
+    """
+    chunks = []
+    for b in batches_sample:
+        hi, lo = chunk_sorted_kmers(jnp.asarray(b.seqs),
+                                    jnp.asarray(b.lengths), k)
+        w = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) \
+            | np.asarray(lo).astype(np.uint64)
+        chunks.append(w[w != np.uint64(0xFFFFFFFFFFFFFFFF)])
+    sample = np.sort(np.concatenate(chunks)) if chunks else \
+        np.zeros(0, np.uint64)
+    bounds = np.empty(n_parts + 1, np.uint64)
+    bounds[0] = 0
+    bounds[-1] = np.uint64(0xFFFFFFFFFFFFFFFF)
+    for p in range(1, n_parts):
+        if sample.size:
+            bounds[p] = sample[min(sample.size - 1,
+                                   sample.size * p // n_parts)]
+        else:
+            bounds[p] = np.uint64(p) * (np.uint64(1) << np.uint64(62))
+    return bounds
+
+
+def count_batches_partitioned(batch_source, k: int, n_parts: int,
+                              super_batch: int = 8,
+                              boundaries: np.ndarray | None = None
+                              ) -> CountTable:
+    """Multi-pass HBM-bounded counting (SURVEY §7.3's human-scale plan).
+
+    The key space splits into ``n_parts`` ranges; pass p streams the
+    whole input but keeps only range p's canonical k-mers, folding them
+    in a DeviceCounter whose resident run is ~1/n_parts of the distinct
+    set.  Ranges are disjoint, so the final tables CONCATENATE — no
+    cross-range merge.  This is meryl's 64-way sharded DB expressed as
+    passes on one chip (meryl-1.0/README.md:13); multi-chip runs shard
+    ranges over devices instead (parallel.mesh.sharded_count_chunk).
+
+    batch_source: callable returning a fresh iterator of ReadBatches
+    (the input is re-streamed once per pass).
+    """
+    if boundaries is None:
+        sample = []
+        for i, b in enumerate(batch_source()):
+            sample.append(b)
+            if i >= 1:
+                break
+        boundaries = estimate_boundaries(sample, k, n_parts)
+    S = super_batch
+    parts: list[CountTable] = []
+    for p in range(n_parts):
+        lo_b = np.uint64(boundaries[p])
+        hi_b = np.uint64(boundaries[p + 1])
+        args = (jnp.uint32(lo_b >> np.uint64(32)), jnp.uint32(lo_b),
+                jnp.uint32(hi_b >> np.uint64(32)), jnp.uint32(hi_b))
+        dcounter = DeviceCounter(k)
+        buf: list = []
+
+        def flush():
+            nonlocal buf
+            if not buf:
+                return
+            B = buf[0].seqs.shape[0]
+            L = max(b.seqs.shape[1] for b in buf)
+            seqs = np.zeros((S, B, L), np.uint8)
+            lengths = np.zeros((S, B), np.int32)
+            for s, b in enumerate(buf):
+                seqs[s, :, :b.seqs.shape[1]] = b.seqs
+                lengths[s] = b.lengths
+            n_used = len(buf)
+            buf = []
+            res = count_kernel_multi_range(
+                jnp.asarray(E.pack_codes_np(seqs)),
+                jnp.asarray(pack_good_np(seqs)),
+                jnp.asarray(lengths), k, *args)
+            dcounter.add_sorted_chunk(res[0][:n_used], res[1][:n_used])
+
+        for batch in batch_source():
+            buf.append(batch)
+            if len(buf) >= S:
+                flush()
+        flush()
+        parts.append(dcounter.finalize())
+    words = np.concatenate([t.words for t in parts])
+    counts = np.concatenate([t.counts for t in parts])
+    assert np.all(words[1:] > words[:-1]), "ranges overlap"
+    return CountTable(words, counts, k)

@@ -71,11 +71,31 @@ def shard_table(mesh: Mesh, table: H.KmerTable) -> jax.Array:
 
 
 def _probe_local(local_table, q_hi, q_lo, n_buckets_global, max_probe,
-                 tp_index, buckets_per_shard):
+                 tp_index, buckets_per_shard, k=None, fmt="full"):
     """Probe only the keys whose 2-choice buckets live on this shard."""
-    mask = jnp.uint32(n_buckets_global - 1)
     res = jnp.zeros(q_hi.shape, jnp.uint32)
     lo_bucket = tp_index * buckets_per_shard
+    if fmt == "quot":
+        bbits = n_buckets_global.bit_length() - 1
+        qsh = q_hi.reshape(-1).astype(jnp.uint32)
+        qsl = q_lo.reshape(-1).astype(jnp.uint32)
+        b1, q = H._quot_bucket_q(qsh, qsl, k, bbits, jnp)
+        b2 = H._quot_alt(b1, q, bbits, jnp)
+        b1 = b1.reshape(q_hi.shape)
+        b2 = b2.reshape(q_hi.shape)
+        q = q.reshape(q_hi.shape)
+        for rnd, b in enumerate((b1, b2)):
+            local_b = b.astype(jnp.int32) - lo_bucket
+            owned = (local_b >= 0) & (local_b < buckets_per_shard)
+            safe_b = jnp.where(owned, local_b, 0)
+            rows = jnp.take(local_table, safe_b, axis=0)
+            qf = rows & H._QMASK
+            which = (rows >> H._WHICH_SHIFT) & 1
+            pay = rows >> H.PAYLOAD_SHIFT
+            hit = (qf == q[..., None]) & (which == rnd) & owned[..., None]
+            res = res | jnp.max(jnp.where(hit, pay, 0), axis=-1)
+        return res
+    mask = jnp.uint32(n_buckets_global - 1)
     for rnd in range(max_probe):
         b = H._hash_round(rnd, q_hi, q_lo, jnp) & mask
         local_b = b.astype(jnp.int32) - lo_bucket
@@ -93,12 +113,12 @@ def _probe_local(local_table, q_hi, q_lo, n_buckets_global, max_probe,
 
 @functools.partial(
     jax.jit, static_argnames=("mesh", "k", "max_probe", "n_buckets",
-                              "num_barcodes"))
+                              "num_barcodes", "fmt"))
 def sharded_classify_step(mesh: Mesh, table_sharded: jax.Array,
                           seqs_u8: jax.Array, lengths: jax.Array,
                           barcode_ids: jax.Array, has_n: jax.Array,
                           k: int, max_probe: int, n_buckets: int,
-                          num_barcodes: int):
+                          num_barcodes: int, fmt: str = "full"):
     """One full device step: probe + vote + per-barcode tally.
 
     seqs_u8 (B, L) / lengths (B,) / barcode_ids (B,) / has_n (B,) are
@@ -115,7 +135,7 @@ def sharded_classify_step(mesh: Mesh, table_sharded: jax.Array,
         hi, lo = E.canonical_kmers(codes, k)
         valid = E.window_valid(jnp.ones(seqs.shape, bool), lengths, k)
         pay = _probe_local(table_local, hi, lo, n_buckets, max_probe,
-                           tp_index, buckets_per_shard)
+                           tp_index, buckets_per_shard, k, fmt)
         pay = jax.lax.psum(jnp.where(valid, pay, 0), "tp")
         v0 = jnp.sum(pay & 1, axis=-1, dtype=jnp.int32)
         v1 = jnp.sum((pay >> 1) & 1, axis=-1, dtype=jnp.int32)
@@ -134,10 +154,11 @@ def sharded_classify_step(mesh: Mesh, table_sharded: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "k", "max_probe",
-                                              "n_buckets"))
+                                              "n_buckets", "fmt"))
 def sharded_vote_step(mesh: Mesh, table_sharded: jax.Array,
                       packed: jax.Array, lengths: jax.Array,
-                      k: int, max_probe: int, n_buckets: int):
+                      k: int, max_probe: int, n_buckets: int,
+                      fmt: str = "full"):
     """Per-read votes on a dp×tp mesh: (S, B, L/4) packed -> (S, B, 2).
 
     Streaming-pipeline variant of :func:`sharded_classify_step`: the
@@ -160,7 +181,7 @@ def sharded_vote_step(mesh: Mesh, table_sharded: jax.Array,
             hi, lo = E.canonical_kmers(codes, k)
             valid = E.window_valid(jnp.ones(codes.shape, bool), lens, k)
             pay = _probe_local(table_local, hi, lo, n_buckets, max_probe,
-                               tp_index, buckets_per_shard)
+                               tp_index, buckets_per_shard, k, fmt)
             pay = jax.lax.psum(jnp.where(valid, pay, 0), "tp")
             v0 = jnp.sum(pay & 1, axis=-1, dtype=jnp.int32)
             v1 = jnp.sum((pay >> 1) & 1, axis=-1, dtype=jnp.int32)

@@ -66,8 +66,8 @@ def load_marker_table(hap0_path: str, hap1_path: str,
     key = tuple(
         float(x) for p in (hap0_path, hap1_path)
         for x in (os.path.getsize(p), int(os.path.getmtime(p)))
-    ) + (load, 4.0)  # 4.0 = table format version (16-byte bucket rows,
-    #                  vectorized cuckoo placement, load 0.7 default)
+    ) + (load, 5.0)  # 5.0 = table format version (quotient 4B slots
+    #                  when they fit, full 8B slots otherwise)
     if snapshot and os.path.exists(cache_path):
         try:
             z = np.load(cache_path, allow_pickle=False)
@@ -76,7 +76,8 @@ def load_marker_table(hap0_path: str, hap1_path: str,
                     data=z["data"], n_buckets=int(z["n_buckets"]),
                     max_probe=int(z["max_probe"]), k=int(z["k"]),
                     n_keys=int(z["n_keys"]),
-                    set_sizes=tuple(int(x) for x in z["set_sizes"]))
+                    set_sizes=tuple(int(x) for x in z["set_sizes"]),
+                    fmt=str(z["fmt"]) if "fmt" in z else "full")
                 table.cache_key = key
                 for h, n in enumerate(z["line_counts"].tolist()):
                     print(f"Recorded {n} haplotype {h} specific "
@@ -108,7 +109,7 @@ def load_marker_table(hap0_path: str, hap1_path: str,
                      k=table.k, n_keys=table.n_keys,
                      set_sizes=np.asarray(table.set_sizes),
                      line_counts=np.asarray([h0_hi.size, h1_hi.size]),
-                     key=np.asarray(key))
+                     key=np.asarray(key), fmt=table.fmt)
         except Exception:
             pass
     return table
@@ -135,9 +136,9 @@ def erase_adaptors(table: H.KmerTable,
                           file=sys.stderr)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_probe"))
+@functools.partial(jax.jit, static_argnames=("k", "max_probe", "fmt"))
 def vote_kernel(data: jax.Array, seqs_u8: jax.Array, lengths: jax.Array,
-                k: int, max_probe: int):
+                k: int, max_probe: int, fmt: str = "full"):
     """Per-read haplotype votes for a padded ASCII batch.
 
     Returns (v0, v1) int32 (B,): number of k-mer positions of each read
@@ -147,16 +148,17 @@ def vote_kernel(data: jax.Array, seqs_u8: jax.Array, lengths: jax.Array,
     hi, lo = E.canonical_kmers(codes, k)
     good = jnp.ones(seqs_u8.shape, bool)
     valid = E.window_valid(good, lengths, k)
-    pay = H.probe(data, hi, lo, max_probe)
+    pay = H.probe_table(data, hi, lo, k, fmt, max_probe)
     pay = jnp.where(valid, pay, 0)
     v0 = jnp.sum(pay & 1, axis=-1, dtype=jnp.int32)
     v1 = jnp.sum((pay >> 1) & 1, axis=-1, dtype=jnp.int32)
     return v0, v1
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_probe"))
+@functools.partial(jax.jit, static_argnames=("k", "max_probe", "fmt"))
 def vote_kernel_multi(data: jax.Array, seqs_u8: jax.Array,
-                      lengths: jax.Array, k: int, max_probe: int):
+                      lengths: jax.Array, k: int, max_probe: int,
+                      fmt: str = "full"):
     """Super-batched votes: (S, B, L) reads -> (S, B, 2) int32.
 
     One host->device transfer, one dispatch and one device->host fetch
@@ -167,7 +169,7 @@ def vote_kernel_multi(data: jax.Array, seqs_u8: jax.Array,
 
     def one(args):
         seqs, lens = args
-        v0, v1 = vote_kernel(data, seqs, lens, k, max_probe)
+        v0, v1 = vote_kernel(data, seqs, lens, k, max_probe, fmt)
         return jnp.stack([v0, v1], axis=-1)
 
     return jax.lax.map(one, (seqs_u8, lengths))
@@ -176,11 +178,11 @@ def vote_kernel_multi(data: jax.Array, seqs_u8: jax.Array,
 pack_codes_np = E.pack_codes_np  # host packing lives with the codec
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_probe"),
+@functools.partial(jax.jit, static_argnames=("k", "max_probe", "fmt"),
                    donate_argnums=(1,))
 def tally_step(data: jax.Array, acc: jax.Array, packed: jax.Array,
                lengths: jax.Array, ids: jax.Array, has_n: jax.Array,
-               k: int, max_probe: int) -> jax.Array:
+               k: int, max_probe: int, fmt: str = "full") -> jax.Array:
     """Vote one packed super-batch and scatter-add into the device tally.
 
     acc: (cap, 3) int32 per-barcode-id [c0, c1, unknown] accumulator
@@ -205,7 +207,7 @@ def tally_step(data: jax.Array, acc: jax.Array, packed: jax.Array,
         hi, lo = E.canonical_kmers(codes, k)
         good = jnp.ones(codes.shape, bool)
         valid = E.window_valid(good, lens, k)
-        pay = H.probe(data, hi, lo, max_probe)
+        pay = H.probe_table(data, hi, lo, k, fmt, max_probe)
         pay = jnp.where(valid, pay, 0)
         v0 = jnp.sum(pay & 1, axis=-1, dtype=jnp.int32)
         v1 = jnp.sum((pay >> 1) & 1, axis=-1, dtype=jnp.int32)
@@ -270,9 +272,10 @@ def _fetch_acc(acc: jax.Array) -> np.ndarray:
     return local
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_probe"))
+@functools.partial(jax.jit, static_argnames=("k", "max_probe", "fmt"))
 def vote_kernel_packed(data: jax.Array, packed: jax.Array,
-                       lengths: jax.Array, k: int, max_probe: int):
+                       lengths: jax.Array, k: int, max_probe: int,
+                       fmt: str = "full"):
     """Super-batched votes over 2-bit packed reads: (S, B, L/4) uint8.
 
     Same results as :func:`vote_kernel_multi`; the unpack is a few VPU
@@ -288,7 +291,7 @@ def vote_kernel_packed(data: jax.Array, packed: jax.Array,
         hi, lo = E.canonical_kmers(codes, k)
         good = jnp.ones(codes.shape, bool)
         valid = E.window_valid(good, lens, k)
-        pay = H.probe(data, hi, lo, max_probe)
+        pay = H.probe_table(data, hi, lo, k, fmt, max_probe)
         pay = jnp.where(valid, pay, 0)
         v0 = jnp.sum(pay & 1, axis=-1, dtype=jnp.int32)
         v1 = jnp.sum((pay >> 1) & 1, axis=-1, dtype=jnp.int32)
@@ -459,7 +462,7 @@ def classify_fastqs(table: H.KmerTable, paths: Iterable[str],
     tally = tally or BarcodeTally()
     data = table.data if isinstance(table.data, jax.Array) \
         else jnp.asarray(table.data)
-    k, mp = table.k, table.max_probe
+    k, mp, fmt = table.k, table.max_probe, table.fmt
     S = super_batch
 
     pending = None  # (device votes (S,B,2), [batch meta])
@@ -484,7 +487,7 @@ def classify_fastqs(table: H.KmerTable, paths: Iterable[str],
             seqs[s, :, :b.seqs.shape[1]] = b.seqs
             lengths[s] = b.lengths
         votes = vote_kernel_packed(data, jnp.asarray(pack_codes_np(seqs)),
-                                   jnp.asarray(lengths), k, mp)
+                                   jnp.asarray(lengths), k, mp, fmt)
         meta = buf
         buf = []
         if pending is not None:
@@ -521,7 +524,7 @@ def _classify_fastqs_device_tally(table, paths, batch_size, tally,
     tally = tally or BarcodeTally()
     data = table.data if isinstance(table.data, jax.Array) \
         else jnp.asarray(table.data)
-    k, mp = table.k, table.max_probe
+    k, mp, fmt = table.k, table.max_probe, table.fmt
     S = super_batch
     for path in paths:
         print(f"__process read: {path}", file=sys.stderr)
@@ -554,7 +557,7 @@ def _classify_fastqs_device_tally(table, paths, batch_size, tally,
                 cap += grow
             acc = tally_step(data, acc, jnp.asarray(seqs),
                              jnp.asarray(lengths), jnp.asarray(ids),
-                             jnp.asarray(has_n), k, mp)
+                             jnp.asarray(has_n), k, mp, fmt)
 
         for batch in reader:
             nb_max = int(batch.barcode_ids[:batch.n].max(initial=-1))
@@ -578,10 +581,10 @@ def _classify_fastqs_native(table, paths, batch_size, tally, super_batch,
     tally = tally or BarcodeTally()
     data = table.data if isinstance(table.data, jax.Array) \
         else jnp.asarray(table.data)
-    k, mp = table.k, table.max_probe
+    k, mp, fmt = table.k, table.max_probe, table.fmt
     if vote_fn is None:
         vote_fn = lambda packed, lengths: vote_kernel_packed(
-            data, packed, lengths, k, mp)
+            data, packed, lengths, k, mp, fmt)
     S = super_batch
     for path in paths:
         print(f"__process read: {path}", file=sys.stderr)
@@ -804,10 +807,11 @@ def classify_fastqs_mesh(mesh, table: H.KmerTable, paths: Iterable[str],
         raise RuntimeError("mesh classify requires libhastio.so")
     assert batch_size % mesh.shape["dp"] == 0, (batch_size, dict(mesh.shape))
     tdata = PM.shard_table(mesh, table)
-    k, mp, nb = table.k, table.max_probe, table.n_buckets
+    k, mp, nb, fmt = table.k, table.max_probe, table.n_buckets, table.fmt
 
     def vote_fn(packed, lengths):
-        return PM.sharded_vote_step(mesh, tdata, packed, lengths, k, mp, nb)
+        return PM.sharded_vote_step(mesh, tdata, packed, lengths, k, mp,
+                                    nb, fmt)
 
     return _classify_fastqs_native(table, paths, batch_size, tally,
                                    super_batch, N, vote_fn=vote_fn)

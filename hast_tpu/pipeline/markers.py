@@ -35,8 +35,22 @@ DEFAULT_UPPER = 33
 
 
 def count_files(paths: Sequence[str], k: int,
-                batch_size: int = FQ.DEFAULT_BATCH) -> KC.CountTable:
-    """Count canonical k-mers over fasta/fastq files (jellyfish count -C)."""
+                batch_size: int = FQ.DEFAULT_BATCH,
+                n_parts: int | None = None) -> KC.CountTable:
+    """Count canonical k-mers over fasta/fastq files (jellyfish count -C).
+
+    n_parts > 1 runs the HBM-bounded multi-pass partitioned counter
+    (pass p keeps only key range p; input re-streamed per pass) for
+    inputs whose distinct set exceeds one chip's HBM — SURVEY §7.3's
+    human-scale plan.  Default comes from HAST_COUNT_PARTS (else 1).
+    """
+    if n_parts is None:
+        n_parts = int(os.environ.get("HAST_COUNT_PARTS", "1"))
+    if n_parts > 1:
+        def source():
+            for path in paths:
+                yield from FQ.sequence_batches(path, k, batch_size)
+        return KC.count_batches_partitioned(source, k, n_parts)
     counter = KC.Counter(k)
     for path in paths:
         t = KC.count_batches(FQ.sequence_batches(path, k, batch_size), k)

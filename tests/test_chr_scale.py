@@ -83,3 +83,31 @@ def test_chr_scale_sharded_vs_single(tmp_path):
     classified = sum(1 for h in haps if h in (b"0", b"1"))
     assert classified > len(rows) * 0.05
     assert b"0" in haps and b"1" in haps
+
+
+@pytest.mark.slow
+def test_partitioned_count_at_scale(tmp_path):
+    """HBM-bounded multi-pass counting on a larger genome at coverage.
+
+    Default input is sized by HAST_PART_SCALE_MB (2 MB in CI — table
+    growth + 4 passes still run); set it to 50 for the full gated run
+    (a ~50 MB genome at 30x counted on one chip without OOM,
+    VERDICT r02 item 4).
+    """
+    import os
+    mb = float(os.environ.get("HAST_PART_SCALE_MB", "2"))
+    from hast_tpu.utils import synthetic as S
+    import numpy as np
+    rng = np.random.default_rng(11)
+    genome = S.make_genome(rng, int(mb * 1e6))
+    reads = tmp_path / "reads.fa"
+    S.make_parent_reads(5, genome, str(reads), coverage=30.0 if mb >= 50
+                        else 6.0, read_len=100)
+    from hast_tpu.pipeline import markers as M
+    got = M.count_files([str(reads)], 21, batch_size=16384, n_parts=4)
+    assert got.n_distinct > 0
+    assert np.all(np.diff(got.words.astype(np.uint64)) > 0)
+    if mb < 10:  # cross-check against the one-pass counter when cheap
+        want = M.count_files([str(reads)], 21, batch_size=16384)
+        np.testing.assert_array_equal(got.words, want.words)
+        np.testing.assert_array_equal(got.counts, want.counts)

@@ -87,3 +87,64 @@ def test_build_deterministic_under_eviction():
     t2 = H.build_table(hi, lo, pay, k, load=0.9)
     assert t1.n_buckets == t2.n_buckets
     np.testing.assert_array_equal(t1.data, t2.data)
+
+
+def test_quot_format_matches_full():
+    """The 4B-quotient format answers identically to the full format."""
+    import numpy as np
+    from hast_tpu.ops import encode as E
+    from hast_tpu.ops import hashtable as H
+
+    rng = np.random.default_rng(7)
+    k = 21
+    n = 40000
+    seqs = rng.integers(0, 4, size=(n, k), dtype=np.int32)
+    hi, lo = E.canonical_kmers_np(seqs, k)
+    hi, lo = hi[:, 0], lo[:, 0]
+    pay = rng.integers(1, 4, n).astype(np.uint32)
+
+    full = H.build_table(hi, lo, pay, k, load=0.7, fmt="full")
+    quot = H.build_table(hi, lo, pay, k, load=0.7, fmt="quot")
+    assert quot.fmt == "quot" and quot.data.shape[1] == H.QUOT_BUCKET
+
+    # queries: every key + random non-keys
+    q_hi = np.concatenate([hi, rng.integers(0, 1 << 20, n).astype(np.uint32)])
+    q_lo = np.concatenate([lo, rng.integers(0, 1 << 32, n).astype(np.uint32)])
+    want = H.probe_np(full, q_hi, q_lo)
+    got = H.probe_np(quot, q_hi, q_lo)
+    np.testing.assert_array_equal(got, want)
+
+    # device probe agrees with host probe
+    import jax.numpy as jnp
+    dev = np.asarray(H.probe_quot(jnp.asarray(quot.data),
+                                  jnp.asarray(q_hi), jnp.asarray(q_lo), k))
+    np.testing.assert_array_equal(dev, want)
+
+    # adaptor erasure clears the same keys in both formats
+    sub = slice(0, 50)
+    cf = H.remove_keys(full, hi[sub], lo[sub], payload_mask=3)
+    cq = H.remove_keys(quot, hi[sub], lo[sub], payload_mask=3)
+    assert sorted(cf) == sorted(cq)
+    assert full.set_sizes == quot.set_sizes
+    np.testing.assert_array_equal(H.probe_np(quot, q_hi, q_lo),
+                                  H.probe_np(full, q_hi, q_lo))
+
+
+def test_quot_auto_selected_for_default_k():
+    """k=21 tables above ~2^13 buckets pick the quotient format."""
+    import numpy as np
+    from hast_tpu.ops import encode as E
+    from hast_tpu.ops import hashtable as H
+
+    rng = np.random.default_rng(8)
+    seqs = rng.integers(0, 4, size=(60000, 21), dtype=np.int32)
+    hi, lo = E.canonical_kmers_np(seqs, 21)
+    t = H.build_table(hi[:, 0], lo[:, 0],
+                      np.ones(60000, np.uint32), 21, load=0.7)
+    assert t.fmt == "quot"
+    # k=31 cannot fit a 29-bit quotient at this size -> full
+    seqs31 = rng.integers(0, 4, size=(60000, 31), dtype=np.int32)
+    h31, l31 = E.canonical_kmers_np(seqs31, 31)
+    t31 = H.build_table(h31[:, 0], l31[:, 0],
+                        np.ones(60000, np.uint32), 31, load=0.7)
+    assert t31.fmt == "full"

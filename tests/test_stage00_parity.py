@@ -141,3 +141,12 @@ def test_substep_resume_skips_finished_count(tmp_path, monkeypatch):
     for s in ("00.1_count_maternal", "00.2_count_paternal",
               "00.3_bounds", "00.4_markers"):
         assert (tmp_path / f"step_{s}_done").exists()
+
+
+def test_partitioned_count_matches_single():
+    """Multi-pass key-range partitioned counting == one-pass tables."""
+    paths = [str(GOLD / "maternal.reads.fa.gz")]
+    want = M.count_files(paths, 21, batch_size=8192)
+    got = M.count_files(paths, 21, batch_size=8192, n_parts=3)
+    np.testing.assert_array_equal(got.words, want.words)
+    np.testing.assert_array_equal(got.counts, want.counts)
