@@ -178,6 +178,32 @@ def vote_kernel_multi(data: jax.Array, seqs_u8: jax.Array,
 pack_codes_np = E.pack_codes_np  # host packing lives with the codec
 
 
+class _StrideBudget:
+    """Bound the distinct batch strides (= compiled shapes) per run.
+
+    Batch rows arrive rounded to 16-base strides (best padding, fastest
+    warm probe) but every new stride costs a ~22s XLA compile; on
+    mixed-length inputs that multiplies (the BENCH_r02 cold regression).
+    The first `budget` distinct strides pass through exactly; after
+    that, new strides round UP to 128-base multiples, capping total
+    compiles at budget + 8 for len_cap 1024.
+    """
+
+    def __init__(self, budget: int = 3):
+        self.budget = budget
+        self.seen: set[int] = set()
+
+    def round(self, stride_bytes: int) -> int:
+        if stride_bytes in self.seen:
+            return stride_bytes
+        if len(self.seen) < self.budget:
+            self.seen.add(stride_bytes)
+            return stride_bytes
+        coarse = -(-stride_bytes // 32) * 32  # 128-base multiples, packed
+        self.seen.add(coarse)
+        return coarse
+
+
 @functools.partial(jax.jit, static_argnames=("k", "max_probe", "fmt"),
                    donate_argnums=(1,))
 def tally_step(data: jax.Array, acc: jax.Array, packed: jax.Array,
@@ -229,47 +255,33 @@ def _grow_acc(acc: jax.Array, zeros: jax.Array) -> jax.Array:
     return jnp.concatenate([acc, zeros], axis=0)
 
 
-# overflow rows (any count >= 2^16) shipped exactly alongside the
-# packed uint16 tally; beyond this the fetch falls back to full int32
-_OVER_CAP = 8192
-
-
 @jax.jit
 def _pack_acc(acc: jax.Array):
-    """Split the int32 tally into a uint16 low-half image + a sparse
-    high-half list, halving the device->host fetch (counts above 65535
-    are rare: a barcode needs >~800 marker-hit reads to get there).
+    """uint16 low-half image of the int32 tally + a scalar overflow
+    count, halving the device->host fetch (counts above 65535 are
+    rare: a barcode needs >~800 marker-hit reads to get there).
 
-    Returns (lo, meta): lo (cap, 3) uint16; meta int32 1-D =
-    [n_over, idx[_OVER_CAP], val[_OVER_CAP]] over the flattened tally.
-    Exact for any counts when n_over <= _OVER_CAP (caller falls back
-    to fetching the raw int32 tally otherwise).
+    The previous version also shipped a sparse high-half list built
+    with jnp.nonzero — that program's first execution stalled ~100s on
+    the remote-attached backend (BENCH_r02's cold-time regression), so
+    overflow now just falls back to fetching the raw int32 tally
+    (measured: overflow never fires on the bench workload).
     """
     lo = (acc & 0xFFFF).astype(jnp.uint16)
-    hif = (acc >> 16).astype(jnp.int32).reshape(-1)
-    n_over = jnp.sum(hif != 0, dtype=jnp.int32)
-    idx = jnp.nonzero(hif, size=_OVER_CAP, fill_value=0)[0].astype(jnp.int32)
-    return lo, jnp.concatenate([n_over[None], idx, hif[idx]])
+    n_over = jnp.sum((acc >> 16) != 0, dtype=jnp.int32)
+    return lo, n_over
 
 
 def _fetch_acc(acc: jax.Array) -> np.ndarray:
     """Fetch the device tally as int64, via the packed fast path."""
-    lo, meta = _pack_acc(acc)
+    lo, n_over = _pack_acc(acc)
     try:
         lo.copy_to_host_async()
-        meta.copy_to_host_async()
     except Exception:
         pass
-    meta_np = np.asarray(meta)
-    n_over = int(meta_np[0])
-    if n_over > _OVER_CAP:
+    if int(np.asarray(n_over)):
         return np.asarray(acc).astype(np.int64)
-    local = np.asarray(lo).astype(np.int64)
-    if n_over:
-        idx = meta_np[1:1 + n_over].astype(np.int64)
-        vals = meta_np[1 + _OVER_CAP:1 + _OVER_CAP + n_over]
-        local.reshape(-1)[idx] += vals.astype(np.int64) << 16
-    return local
+    return np.asarray(lo).astype(np.int64)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "max_probe", "fmt"))
@@ -475,11 +487,13 @@ def classify_fastqs(table: H.KmerTable, paths: Iterable[str],
             tally.add_batch(batch.barcodes, votes[s, :nb, 0],
                             votes[s, :nb, 1], batch.has_n[:nb])
 
+    strides = _StrideBudget()
+
     def flush():
         nonlocal pending, buf
         if not buf:
             return
-        L = max(b.seqs.shape[1] for b in buf)
+        L = strides.round(max(b.seqs.shape[1] for b in buf))
         B = buf[0].seqs.shape[0]
         seqs = np.zeros((S, B, L), np.uint8)
         lengths = np.zeros((S, B), np.int32)
@@ -534,12 +548,13 @@ def _classify_fastqs_device_tally(table, paths, batch_size, tally,
         acc = jnp.zeros((cap, 3), jnp.int32)
         buf: list = []
         max_id = -1
+        strides = _StrideBudget()
 
         def flush():
             nonlocal buf, acc, cap
             if not buf:
                 return
-            Lp = max(b.seqs.shape[1] for b in buf)
+            Lp = strides.round(max(b.seqs.shape[1] for b in buf))
             seqs = np.zeros((S, batch_size, Lp), np.uint8)
             lengths = np.zeros((S, batch_size), np.int32)
             ids = np.full((S, batch_size), -1, np.int32)
@@ -593,6 +608,7 @@ def _classify_fastqs_native(table, paths, batch_size, tally, super_batch,
         local = np.zeros((1 << 12, 3), np.int64)
         inflight: list = []  # [(device votes, [native batch meta])]
         buf: list = []
+        strides = _StrideBudget()
         # drained per-read rows, folded into `local` in bulk: three
         # bincounts per ~4M reads instead of per batch (each bincount
         # walks the whole barcode range, so batch-wise folding is
@@ -652,7 +668,7 @@ def _classify_fastqs_native(table, paths, batch_size, tally, super_batch,
                 return
             # rows arrive 2-bit packed from the native reader; zero
             # pad bytes decode to A, same as the ASCII zero-pad path
-            Lp = max(b.seqs.shape[1] for b in buf)
+            Lp = strides.round(max(b.seqs.shape[1] for b in buf))
             seqs = np.zeros((S, batch_size, Lp), np.uint8)
             lengths = np.zeros((S, batch_size), np.int32)
             for s, b in enumerate(buf):

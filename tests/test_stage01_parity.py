@@ -110,7 +110,7 @@ def test_fetch_acc_packed_overflow():
     assert got.dtype == np.int64
     np.testing.assert_array_equal(got, acc.astype(np.int64))
 
-    # force the fallback: more overflow rows than _OVER_CAP
-    big = np.full((C._OVER_CAP + 8, 3), 1 << 20, np.int32)
-    got = C._fetch_acc(jnp.asarray(big))
-    np.testing.assert_array_equal(got, big.astype(np.int64))
+    # no overflow anywhere -> pure uint16 image path
+    small = rng.integers(0, 60000, (4096, 3)).astype(np.int32)
+    got = C._fetch_acc(jnp.asarray(small))
+    np.testing.assert_array_equal(got, small.astype(np.int64))
