@@ -46,6 +46,11 @@ def _add_build_markers(sub):
     p.add_argument("--p-upper", type=int, default=33)
     p.add_argument("--out-dir", default=".")
     p.add_argument("--batch-size", type=int, default=1 << 14)
+    p.add_argument("--count-parts", type=int, default=None,
+                   help="split the k-mer key space into N ranges counted "
+                        "in N passes (HBM-bounded counting for inputs "
+                        "whose distinct set exceeds device memory); "
+                        "default HAST_COUNT_PARTS or 1")
     p.add_argument("--thread", type=int, default=None,
                    help="accepted for reference compatibility (unused)")
     p.add_argument("--memory", type=int, default=None,
@@ -68,7 +73,7 @@ def _add_build_markers(sub):
                     auto_bounds=a.auto_bounds,
                     p_lower=a.p_lower, p_upper=a.p_upper,
                     m_lower=a.m_lower, m_upper=a.m_upper,
-                    batch_size=a.batch_size)
+                    batch_size=a.batch_size, n_parts=a.count_parts)
     p.set_defaults(func=run)
 
 

@@ -113,6 +113,7 @@ def build_unshared_markers(
     p_lower: int = DEFAULT_LOWER, p_upper: int = DEFAULT_UPPER,
     m_lower: int = DEFAULT_LOWER, m_upper: int = DEFAULT_UPPER,
     batch_size: int = FQ.DEFAULT_BATCH, log=sys.stderr,
+    n_parts: int | None = None,
 ) -> dict[str, str]:
     """Full stage 00: parent counting -> bounds -> unique.filter.mer files.
 
@@ -132,7 +133,7 @@ def build_unshared_markers(
     with step("00.1_count_maternal", out_dir, log=log) as todo:
         if todo:
             with timer.phase("count_maternal"):
-                mat = count_files(maternal, k, batch_size)
+                mat = count_files(maternal, k, batch_size, n_parts)
             timer.add_items("count_maternal", mat.total)
             mat.save(j("maternal.counts.npz"))
     if mat is None:
@@ -140,7 +141,7 @@ def build_unshared_markers(
     with step("00.2_count_paternal", out_dir, log=log) as todo:
         if todo:
             with timer.phase("count_paternal"):
-                pat = count_files(paternal, k, batch_size)
+                pat = count_files(paternal, k, batch_size, n_parts)
             timer.add_items("count_paternal", pat.total)
             pat.save(j("paternal.counts.npz"))
     if pat is None:
