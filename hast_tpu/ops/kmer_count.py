@@ -54,15 +54,18 @@ def chunk_sorted_kmers(seqs_u8: jax.Array, lengths: jax.Array, k: int):
     return hi, lo
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "sort"))
 def count_kernel_multi(packed: jax.Array, good_packed: jax.Array,
-                       lengths: jax.Array, k: int):
-    """Super-batched sorted-kmer extraction over 2-bit packed reads.
+                       lengths: jax.Array, k: int, sort: bool = True):
+    """Super-batched k-mer extraction over 2-bit packed reads.
 
     packed: (S, B, L/4) uint8 2-bit codes; good_packed: (S, B, L/8)
     uint8 bitmask of ACGT-validity per base (bit j of byte m = base
-    m*8+j); lengths: (S, B).  Returns (S, B*(L-k+1)) hi/lo sorted per
-    slice — one device interaction covers S batches.
+    m*8+j); lengths: (S, B).  Returns (S, B*(L-k+1)) hi/lo per slice —
+    one device interaction covers S batches.  sort=True sorts each
+    slice (the host Counter consumes sorted runs); the DeviceCounter
+    path passes sort=False because its fold re-sorts the concatenation
+    anyway — per-chunk sorting was pure wasted device time.
     """
 
     def one(args):
@@ -78,16 +81,19 @@ def count_kernel_multi(packed: jax.Array, good_packed: jax.Array,
         valid = E.window_valid(good, lens, k)
         hi = jnp.where(valid, hi, jnp.uint32(0xFFFFFFFF)).reshape(-1)
         lo = jnp.where(valid, lo, jnp.uint32(0xFFFFFFFF)).reshape(-1)
-        return jax.lax.sort((hi, lo), num_keys=2)
+        if sort:
+            return jax.lax.sort((hi, lo), num_keys=2)
+        return hi, lo
 
     return jax.lax.map(one, (packed, good_packed, lengths))
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "sort"))
 def count_kernel_multi_range(packed: jax.Array, good_packed: jax.Array,
                              lengths: jax.Array, k: int,
                              lo_hi: jax.Array, lo_lo: jax.Array,
-                             hi_hi: jax.Array, hi_lo: jax.Array):
+                             hi_hi: jax.Array, hi_lo: jax.Array,
+                             sort: bool = True):
     """:func:`count_kernel_multi` restricted to canonical keys in
     ``[(lo_hi, lo_lo), (hi_hi, hi_lo))`` — key-space bounds as uint32
     word pairs (traced scalars; x64 stays off).
@@ -113,7 +119,9 @@ def count_kernel_multi_range(packed: jax.Array, good_packed: jax.Array,
         valid = valid & ge_lo & lt_hi
         hi = jnp.where(valid, hi, jnp.uint32(0xFFFFFFFF)).reshape(-1)
         lo = jnp.where(valid, lo, jnp.uint32(0xFFFFFFFF)).reshape(-1)
-        return jax.lax.sort((hi, lo), num_keys=2)
+        if sort:
+            return jax.lax.sort((hi, lo), num_keys=2)
+        return hi, lo
 
     return jax.lax.map(one, (packed, good_packed, lengths))
 
@@ -442,7 +450,8 @@ def count_batches(batches: Iterable, k: int,
             lengths[s] = b.lengths
         res = count_kernel_multi(jnp.asarray(E.pack_codes_np(seqs)),
                                  jnp.asarray(pack_good_np(seqs)),
-                                 jnp.asarray(lengths), k)
+                                 jnp.asarray(lengths), k,
+                                 sort=(engine != "device"))
         n_used = len(buf)
         buf = []
         sink(res, n_used)
@@ -533,7 +542,7 @@ def count_batches_partitioned(batch_source, k: int, n_parts: int,
             res = count_kernel_multi_range(
                 jnp.asarray(E.pack_codes_np(seqs)),
                 jnp.asarray(pack_good_np(seqs)),
-                jnp.asarray(lengths), k, *args)
+                jnp.asarray(lengths), k, *args, sort=False)
             dcounter.add_sorted_chunk(res[0][:n_used], res[1][:n_used])
 
         for batch in batch_source():
