@@ -63,6 +63,23 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long, ctypes.c_int]
     lib.hastio_truncated.restype = ctypes.c_long
     lib.hastio_truncated.argtypes = [ctypes.c_void_p]
+    try:
+        lib.hastio_open_count.restype = ctypes.c_void_p
+        lib.hastio_open_count.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                          ctypes.c_int, ctypes.c_int]
+        lib.hastio_next_batch_count.restype = ctypes.c_long
+        lib.hastio_next_batch_count.argtypes = [
+            ctypes.c_void_p,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.hastio_bad_fasta.restype = ctypes.c_long
+        lib.hastio_bad_fasta.argtypes = [ctypes.c_void_p]
+    except AttributeError:
+        pass  # older libhastio.so without counting mode
     lib.hastio_quarter.restype = ctypes.c_int
     lib.hastio_quarter.argtypes = [ctypes.c_char_p] * 6 + [
         ctypes.POINTER(ctypes.c_long)]
@@ -267,3 +284,73 @@ def native_quarter(fastq_path: str, prefix: str, pat_list: str,
         raise RuntimeError(f"hastio_quarter failed with code {rc}")
     return dict(total=stats[0], no_reads=stats[1], pa_reads=stats[2],
                 ma_reads=stats[3], ho_reads=stats[4], un_reads=stats[5])
+
+
+class NativeCountBatch:
+    """2-bit packed rows + ACGT-validity bitmask from the count reader."""
+
+    __slots__ = ("packed", "good", "lengths", "n")
+
+    def __init__(self, packed, good, lengths, n):
+        self.packed = packed      # (B, stride/4) uint8
+        self.good = good          # (B, stride/8) uint8 bitmask
+        self.lengths = lengths    # (B,) int32
+        self.n = n
+
+
+class NativeCountReader:
+    """Counting-mode reader: decode + 2-bit pack + validity bitmask all
+    on the C++ threads (the host-side pack_codes_np/pack_good_np passes
+    were the stage-00 bottleneck).  Raises RuntimeError mid-iteration
+    on truncation or multi-line fasta — callers redo the file with the
+    python reader."""
+
+    def __init__(self, path: str, batch_size: int = 1 << 14,
+                 len_cap: int = 8192, fastq: bool = True):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("libhastio.so unavailable")
+        if not hasattr(lib, "hastio_open_count"):
+            raise RuntimeError("libhastio.so too old for counting mode")
+        self._lib = lib
+        self._h = lib.hastio_open_count(path.encode(), batch_size,
+                                        len_cap, 1 if fastq else 0)
+        if not self._h:
+            raise FileNotFoundError(path)
+        self._bs = batch_size
+        self._cap = ((len_cap + 127) // 128) * 128
+
+    def __iter__(self):
+        lib, h, bs = self._lib, self._h, self._bs
+        scratch = np.empty(bs * (self._cap // 4), np.uint8)
+        gscratch = np.empty(bs * (self._cap // 8), np.uint8)
+        while True:
+            lengths = np.empty(bs, np.int32)
+            has_n = np.empty(bs, np.uint8)
+            bids = np.empty(bs, np.int32)
+            max_len = ctypes.c_int32()
+            n = lib.hastio_next_batch_count(h, scratch, lengths, has_n,
+                                            bids, gscratch,
+                                            ctypes.byref(max_len))
+            if n <= 0:
+                return
+            if lib.hastio_truncated(h) or lib.hastio_bad_fasta(h):
+                raise RuntimeError("input needs the python reader "
+                                   "(long read or multi-line fasta)")
+            sp = max_len.value // 4
+            sg = max_len.value // 8
+            yield NativeCountBatch(
+                scratch[:bs * sp].reshape(bs, sp).copy(),
+                gscratch[:bs * sg].reshape(bs, sg).copy(),
+                lengths, int(n))
+
+    def close(self):
+        if self._h:
+            self._lib.hastio_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -555,3 +555,62 @@ def count_batches_partitioned(batch_source, k: int, n_parts: int,
     counts = np.concatenate([t.counts for t in parts])
     assert np.all(words[1:] > words[:-1]), "ranges overlap"
     return CountTable(words, counts, k)
+
+
+def count_file_native(path: str, k: int, batch_size: int = 1 << 14,
+                      super_batch: int = 8) -> "CountTable | None":
+    """Count one fasta/fastq file via the native counting reader.
+
+    The C++ threads decode, 2-bit pack and build the ACGT-validity
+    bitmask off the GIL (the host-side numpy packing passes dominated
+    stage-00 wall time: BENCH showed 670k kmers/s vs the device
+    engine's measured 229M kmers/s extract+sort).  Returns None when
+    the fast path can't take the file (no library, reads beyond the
+    length cap, or multi-line fasta) — callers fall back to the python
+    reader, discarding nothing because the fold is abandoned whole.
+    """
+    from hast_tpu.io import fastq as FQ
+    try:
+        from hast_tpu.io import native as N
+        if N.get_lib() is None or not hasattr(N.get_lib(),
+                                              "hastio_open_count"):
+            return None
+        fmt = FQ.detect_format(path)
+        reader = N.NativeCountReader(path, batch_size,
+                                     fastq=(fmt == "fastq"))
+    except (ImportError, RuntimeError, FileNotFoundError, ValueError):
+        return None
+    S = super_batch
+    dcounter = DeviceCounter(k)
+    buf: list = []
+
+    def flush():
+        nonlocal buf
+        if not buf:
+            return
+        B = buf[0].packed.shape[0]
+        sp = max(b.packed.shape[1] for b in buf)
+        packed = np.zeros((S, B, sp), np.uint8)
+        good = np.zeros((S, B, sp // 2), np.uint8)
+        lengths = np.zeros((S, B), np.int32)
+        for s, b in enumerate(buf):
+            packed[s, :, :b.packed.shape[1]] = b.packed
+            good[s, :, :b.good.shape[1]] = b.good
+            lengths[s] = b.lengths
+        n_used = len(buf)
+        buf = []
+        res = count_kernel_multi(jnp.asarray(packed), jnp.asarray(good),
+                                 jnp.asarray(lengths), k, sort=False)
+        dcounter.add_sorted_chunk(res[0][:n_used], res[1][:n_used])
+
+    try:
+        for batch in reader:
+            buf.append(batch)
+            if len(buf) >= S:
+                flush()
+        flush()
+    except RuntimeError:
+        reader.close()
+        return None
+    reader.close()
+    return dcounter.finalize()

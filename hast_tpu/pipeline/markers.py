@@ -53,7 +53,10 @@ def count_files(paths: Sequence[str], k: int,
         return KC.count_batches_partitioned(source, k, n_parts)
     counter = KC.Counter(k)
     for path in paths:
-        t = KC.count_batches(FQ.sequence_batches(path, k, batch_size), k)
+        t = KC.count_file_native(path, k, batch_size)
+        if t is None:
+            t = KC.count_batches(
+                FQ.sequence_batches(path, k, batch_size), k)
         counter.add_table(t)
     return counter.finalize()
 

@@ -22,6 +22,7 @@
 // C ABI (ctypes-friendly), see hast_tpu/io/native.py for the wrapper.
 
 #include <algorithm>
+#include <array>
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
@@ -283,12 +284,28 @@ struct BarcodeDict {
 
 struct Batch {
   std::vector<uint8_t> seqs;    // n_rows * stride, zero padded
+  std::vector<uint8_t> good;    // ACGT-validity bitmask (counting mode)
   std::vector<int32_t> lengths;
   std::vector<uint8_t> has_n;
   std::vector<int32_t> barcode_ids;
   int n = 0;
   int max_len = 0;  // padded row stride in BASES (multiple of 16)
 };
+
+// ACGT/acgt validity per byte (jellyfish window rule); bit j of good
+// byte m covers base m*8+j, matching ops/kmer_count.pack_good_np
+static const std::array<uint8_t, 256> kAcgt = [] {
+  std::array<uint8_t, 256> t{};
+  for (unsigned char c : {'A', 'C', 'G', 'T', 'a', 'c', 'g', 't'})
+    t[c] = 1;
+  return t;
+}();
+
+inline void good_row(const char* s, int L, uint8_t* row) {
+  const uint8_t* p = reinterpret_cast<const uint8_t*>(s);
+  for (int j = 0; j < L; j++)
+    if (kAcgt[p[j]]) row[j >> 3] |= static_cast<uint8_t>(1u << (j & 7));
+}
 
 inline int round128(int x) { return ((x + 127) / 128) * 128; }
 // batch row strides round to 16 bases (4 packed bytes): finer than 128
@@ -320,9 +337,11 @@ struct Reader {
   int cap_stride;     // round128(len_cap): staging row stride in bases
   bool fastq;
   bool packed = false;
+  bool emit_good = false;  // counting mode: per-base ACGT bitmask rows
 
   BarcodeDict dict;
   std::atomic<long> truncated{0};
+  std::atomic<long> bad_fasta{0};  // multi-line fasta detected
 
   // staging buffers for the batch under construction (parse thread)
   Batch cur;
@@ -364,6 +383,8 @@ struct Reader {
   void begin_batch() {
     const size_t stride = packed ? cap_stride / 4 : cap_stride;
     cur.seqs.assign(static_cast<size_t>(batch_size) * stride, 0);
+    if (emit_good)
+      cur.good.assign(static_cast<size_t>(batch_size) * (cap_stride / 8), 0);
     cur.lengths.assign(batch_size, 0);
     cur.has_n.assign(batch_size, 0);
     cur.barcode_ids.assign(batch_size, 0);
@@ -387,6 +408,7 @@ struct Reader {
     b.barcode_ids = std::move(cur.barcode_ids);
     if (out_stride == in_stride) {
       b.seqs = std::move(cur.seqs);
+      if (emit_good) b.good = std::move(cur.good);
     } else {
       b.seqs.resize(static_cast<size_t>(batch_size) * out_stride);
       const uint8_t* src = cur.seqs.data();
@@ -395,6 +417,16 @@ struct Reader {
         memcpy(dst + i * out_stride, src + i * in_stride, out_stride);
       memset(dst + static_cast<size_t>(cur_rows) * out_stride, 0,
              (batch_size - cur_rows) * out_stride);
+      if (emit_good) {
+        const size_t gi = cap_stride / 8, go = static_cast<size_t>(out_len) / 8;
+        b.good.resize(static_cast<size_t>(batch_size) * go);
+        const uint8_t* gsrc = cur.good.data();
+        uint8_t* gdst = b.good.data();
+        for (int i = 0; i < cur_rows; i++)
+          memcpy(gdst + i * go, gsrc + i * gi, go);
+        memset(gdst + static_cast<size_t>(cur_rows) * go, 0,
+               (batch_size - cur_rows) * go);
+      }
     }
     {
       std::unique_lock<std::mutex> lk(mu);
@@ -425,6 +457,8 @@ struct Reader {
     } else {
       memcpy(&cur.seqs[static_cast<size_t>(i) * cap_stride], seq, L);
     }
+    if (emit_good)
+      good_row(seq, L, &cur.good[static_cast<size_t>(i) * (cap_stride / 8)]);
     cur.lengths[i] = L;
     cur.has_n[i] = memchr(seq, 'N', slen) != nullptr;
     // classify.cpp:112-119 parseName: between LAST '#' and LAST '/'
@@ -454,6 +488,11 @@ struct Reader {
     auto handle_line = [&](const char* p, size_t n) -> bool {
       if (n && p[n - 1] == '\r') n--;  // getline strips \r
       if (line_idx == 0) {
+        // multi-line fasta: a continuation line lands where a head is
+        // expected; flag it so the caller falls back to the python
+        // reader (this parser is strictly 2-line-per-record fasta)
+        if (!fastq && n && p[0] != '>')
+          bad_fasta.fetch_add(1, std::memory_order_relaxed);
         // stash the head: the seq line may arrive in another chunk,
         // invalidating this pointer — copy (heads are ~40 bytes)
         head_buf.assign(p, p + n);
@@ -586,6 +625,43 @@ long hastio_num_barcodes(void* handle) {
 // reads whose sequence exceeded len_cap so far (capped, not dropped)
 long hastio_truncated(void* handle) {
   return static_cast<Reader*>(handle)->truncated.load();
+}
+
+// counting mode: 2-bit packed rows + per-base ACGT-validity bitmask
+void* hastio_open_count(const char* path, int batch_size, int len_cap,
+                        int fastq) {
+  auto* r = new Reader(path, batch_size, len_cap, fastq != 0);
+  r->packed = true;
+  r->emit_good = true;
+  ByteSource probe(path);
+  if (!probe.ok()) {
+    delete r;
+    return nullptr;
+  }
+  r->start();
+  return r;
+}
+
+long hastio_next_batch_count(void* handle, uint8_t* seqs,
+                             int32_t* lengths, uint8_t* has_n,
+                             int32_t* barcode_ids, uint8_t* good,
+                             int32_t* max_len_out) {
+  auto* r = static_cast<Reader*>(handle);
+  Batch b;
+  if (!r->next(&b)) return 0;
+  memcpy(seqs, b.seqs.data(), b.seqs.size());
+  memcpy(good, b.good.data(), b.good.size());
+  memcpy(lengths, b.lengths.data(), b.lengths.size() * sizeof(int32_t));
+  memcpy(has_n, b.has_n.data(), b.has_n.size());
+  memcpy(barcode_ids, b.barcode_ids.data(),
+         b.barcode_ids.size() * sizeof(int32_t));
+  *max_len_out = b.max_len;
+  return b.n;
+}
+
+// nonzero when the input was multi-line fasta (parser unsupported)
+long hastio_bad_fasta(void* handle) {
+  return static_cast<Reader*>(handle)->bad_fasta.load();
 }
 
 // newline-joined barcode strings in id order; returns bytes written

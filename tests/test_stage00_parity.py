@@ -111,7 +111,7 @@ def test_substep_resume_skips_finished_count(tmp_path, monkeypatch):
     real_count = M.count_files
     calls = []
 
-    def crashing_count(paths, k, batch_size):
+    def crashing_count(paths, k, batch_size, n_parts=None):
         calls.append(tuple(paths))
         if paths == pat:
             raise KeyboardInterrupt("simulated crash mid-run")
@@ -126,7 +126,7 @@ def test_substep_resume_skips_finished_count(tmp_path, monkeypatch):
     assert (tmp_path / "maternal.counts.npz").exists()
     assert not (tmp_path / "step_00.2_count_paternal_done").exists()
 
-    def second_run_count(paths, k, batch_size):
+    def second_run_count(paths, k, batch_size, n_parts=None):
         assert paths != mat, "maternal count was redone after resume"
         calls.append(tuple(paths))
         return real_count(paths, k, batch_size)
