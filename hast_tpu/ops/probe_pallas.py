@@ -96,6 +96,8 @@ def pallas_broadcast_probe(table_hi: jax.Array, table_lo: jax.Array,
 
 def table_key_arrays(table: H.KmerTable):
     """Flatten a bucketized table into (hi, lo) key arrays (with
-    payload bits retained in hi; empty slots stay EMPTY)."""
+    payload bits retained in hi; empty slots stay EMPTY).  Full-format
+    tables only (quotient slots don't carry raw keys)."""
+    assert table.fmt == "full", "broadcast join needs full-format slots"
     data = np.asarray(table.data)
     return data[:, 0::2].reshape(-1), data[:, 1::2].reshape(-1)

@@ -150,3 +150,26 @@ def test_partitioned_count_matches_single():
     got = M.count_files(paths, 21, batch_size=8192, n_parts=3)
     np.testing.assert_array_equal(got.words, want.words)
     np.testing.assert_array_equal(got.counts, want.counts)
+
+
+def test_native_count_multiline_fasta_fallback(tmp_path):
+    """Multi-line fasta must fall back to the python reader whole-file
+    (the native counting parser is strictly 2-line records)."""
+    from hast_tpu.ops import kmer_count as KC
+    seq = b"ACGTACGTGGCCATTAGCAT" * 10
+    single = tmp_path / "single.fa"
+    multi = tmp_path / "multi.fa"
+    single.write_bytes(b">r1\n" + seq + b"\n>r2\n" + seq[5:] + b"\n")
+    multi.write_bytes(b">r1\n" + seq[:100] + b"\n" + seq[100:] +
+                      b"\n>r2\n" + seq[5:] + b"\n")
+    native = KC.count_file_native(str(single), 21, batch_size=64)
+    if native is not None:  # lib present: parity with the python path
+        want = M.count_files([str(single)], 21, batch_size=64)
+        np.testing.assert_array_equal(native.words, want.words)
+        np.testing.assert_array_equal(native.counts, want.counts)
+    assert KC.count_file_native(str(multi), 21, batch_size=64) is None
+    # and the public entry point still counts the multi-line file right
+    got = M.count_files([str(multi)], 21, batch_size=64)
+    want = M.count_files([str(single)], 21, batch_size=64)
+    np.testing.assert_array_equal(got.words, want.words)
+    np.testing.assert_array_equal(got.counts, want.counts)
