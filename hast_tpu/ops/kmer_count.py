@@ -353,8 +353,9 @@ class DeviceCounter:
         if self._chunk_elems >= self._fold_above:
             self._fold()
 
-    def _fold(self) -> None:
+    def _fold(self, final: bool = False) -> None:
         if not self._chunks and self._run is not None:
+            self._settle()
             return
         his = [h for h, _ in self._chunks]
         los = [l for _, l in self._chunks]
@@ -371,7 +372,23 @@ class DeviceCounter:
         lo = jnp.concatenate(los) if len(los) > 1 else los[0]
         cn = jnp.concatenate(counts) if len(counts) > 1 else counts[0]
         rhi, rlo, rc, n_unique = _merge_rle_kernel(hi, lo, cn)
-        n = int(n_unique)            # scalar d2h; also drains the sort
+        # defer the scalar n_unique fetch to the NEXT fold (or
+        # finalize): a blocking d2h here serialized the whole pipeline
+        # on every fold, which remote attachments punish brutally.
+        # Until settled, the run stays at its padded (unshrunk) size —
+        # one fold's worth of slack, bounded by fold_above.
+        self._pending_n = n_unique
+        self._run = (rhi, rlo, rc)
+        if final:
+            self._settle()
+
+    def _settle(self) -> None:
+        """Resolve the deferred n_unique and shrink the resident run."""
+        if getattr(self, "_pending_n", None) is None:
+            return
+        n = int(np.asarray(self._pending_n))
+        self._pending_n = None
+        rhi, rlo, rc = self._run
         n_pad = 1 << max(16, (max(1, n) - 1).bit_length())
         if n_pad < rhi.shape[0]:
             rhi, rlo, rc = _shrink(rhi, rlo, rc, n_pad)
@@ -379,7 +396,7 @@ class DeviceCounter:
         self._run_valid = n
 
     def finalize(self) -> CountTable:
-        self._fold()
+        self._fold(final=True)
         if self._run is None:
             return CountTable(np.zeros(0, np.uint64),
                               np.zeros(0, np.int64), self.k)

@@ -205,7 +205,16 @@ def _build_segment_table(hap_files: list[str]):
 
 
 def _segment_hits_batch(table: H.KmerTable, seqs: list[bytes]):
-    """Vectorized (device) version of _segment_hits over many sequences."""
+    """Vectorized (device) version of _segment_hits over many sequences.
+
+    Scale bound (deliberate): all records are held in memory and pieces
+    are assembled with a python loop — right-sized for stage-03 inputs,
+    which are Supernova bubble segments (thousands of records, ~kb
+    each; the whole phb.12.fa of a human assembly is <1 GB).  The
+    billion-read streaming path is stage 01 (pipeline/classify), not
+    this; if stage-03 inputs ever grow past memory, stream
+    fasta_records and reuse classify's batched reader instead.
+    """
     k = table.k
     data = jnp.asarray(table.data)
     results = np.zeros((len(seqs), 2), np.int64)
