@@ -148,3 +148,31 @@ def test_quot_auto_selected_for_default_k():
     t31 = H.build_table(h31[:, 0], l31[:, 0],
                         np.ones(60000, np.uint32), 31, load=0.7)
     assert t31.fmt == "full"
+
+
+def test_quot_bbits_edge():
+    """Exact 29-bit quotient boundary: k where 2k - bbits == 29."""
+    import numpy as np
+    from hast_tpu.ops import encode as E
+    from hast_tpu.ops import hashtable as H
+
+    rng = np.random.default_rng(9)
+    # force a 2^13-bucket table: n ~ 4*0.7*8192 ≈ 23k keys
+    n = 20000
+    for k in (21, 24):  # k=21 -> q=29 at 2^13 exactly; k=24 -> full
+        seqs = rng.integers(0, 4, size=(n, k), dtype=np.int32)
+        hi, lo = E.canonical_kmers_np(seqs, k)
+        hi, lo = hi[:, 0], lo[:, 0]
+        pay = rng.integers(1, 4, n).astype(np.uint32)
+        t = H.build_table(hi, lo, pay, k, load=0.7)
+        bbits = t.n_buckets.bit_length() - 1
+        if t.fmt == "quot":
+            assert 2 * k - bbits <= 29
+        full = H.build_table(hi, lo, pay, k, load=0.7, fmt="full")
+        q_hi = np.concatenate([hi, rng.integers(
+            0, 1 << min(30, 2 * k - 32 if k > 16 else 1), n
+        ).astype(np.uint32)]) if k > 16 else hi
+        q_lo = np.concatenate([lo, rng.integers(
+            0, 1 << 32, n).astype(np.uint32)]) if k > 16 else lo
+        np.testing.assert_array_equal(H.probe_np(t, q_hi, q_lo),
+                                      H.probe_np(full, q_hi, q_lo))

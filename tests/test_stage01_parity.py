@@ -114,3 +114,47 @@ def test_fetch_acc_packed_overflow():
     small = rng.integers(0, 60000, (4096, 3)).astype(np.int32)
     got = C._fetch_acc(jnp.asarray(small))
     np.testing.assert_array_equal(got, small.astype(np.int64))
+
+
+def test_stride_budget_mixed_lengths(tmp_path):
+    """Mixed read lengths past the stride budget still classify
+    identically (coarse 128-base rounding only adds masked padding)."""
+    import gzip
+    import numpy as np
+    from hast_tpu.pipeline import classify as C
+
+    # budget object behavior
+    sb = C._StrideBudget(budget=2)
+    assert sb.round(28) == 28 and sb.round(44) == 44      # exact
+    assert sb.round(28) == 28                              # seen
+    assert sb.round(50) == 64                              # coarse 32-mult
+    assert sb.round(64) == 64
+
+    table = C.load_marker_table(str(GOLD / "hap0.mer"),
+                                str(GOLD / "hap1.mer"))
+    C.erase_adaptors(table)
+    table.device_put()
+
+    # build a mixed-length fastq from the golden reads: truncate to
+    # varying lengths so many distinct strides appear
+    rng = np.random.default_rng(5)
+    out = tmp_path / "mixed.fq"
+    with gzip.open(GOLD / "reads1.fq.gz", "rb") as f, \
+            open(out, "wb") as w:
+        rec = []
+        for line in f:
+            rec.append(line.rstrip(b"\n"))
+            if len(rec) == 4:
+                L = int(rng.integers(40, len(rec[1]) + 1))
+                w.write(rec[0] + b"\n" + rec[1][:L] + b"\n+\n"
+                        + rec[3][:L] + b"\n")
+                rec = []
+    import io
+    a = io.BytesIO()
+    t1 = C.classify_fastqs(table, [str(out)], batch_size=512)
+    C.write_phased_barcodes(t1, table, a, w0=1.04)
+    b = io.BytesIO()
+    t2 = C.classify_fastqs(table, [str(out)], batch_size=4096,
+                           engine="python")
+    C.write_phased_barcodes(t2, table, b, w0=1.04)
+    assert a.getvalue() == b.getvalue()
