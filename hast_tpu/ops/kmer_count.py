@@ -354,8 +354,14 @@ class DeviceCounter:
             self._fold()
 
     def _fold(self, final: bool = False) -> None:
+        # settle the PREVIOUS fold's deferred shrink first: its
+        # n_unique scalar has been computed long since (a fold's worth
+        # of streaming happened), so the int() below is effectively
+        # non-blocking, and the run we concatenate is the shrunk one —
+        # without this the resident run grows by ~fold_above elements
+        # per fold and the HBM bound is gone.
+        self._settle()
         if not self._chunks and self._run is not None:
-            self._settle()
             return
         his = [h for h, _ in self._chunks]
         los = [l for _, l in self._chunks]
@@ -526,11 +532,15 @@ def count_batches_partitioned(batch_source, k: int, n_parts: int,
     batch_source: callable returning a fresh iterator of ReadBatches
     (the input is re-streamed once per pass).
     """
+    import sys
     if boundaries is None:
+        # quantiles from the first 8 batches; genomic input is locally
+        # correlated, so log per-pass distinct sizes below — a badly
+        # skewed split is visible, not silent
         sample = []
         for i, b in enumerate(batch_source()):
             sample.append(b)
-            if i >= 1:
+            if i >= 7:
                 break
         boundaries = estimate_boundaries(sample, k, n_parts)
     S = super_batch
@@ -567,7 +577,10 @@ def count_batches_partitioned(batch_source, k: int, n_parts: int,
             if len(buf) >= S:
                 flush()
         flush()
-        parts.append(dcounter.finalize())
+        t = dcounter.finalize()
+        print(f"  count pass {p + 1}/{n_parts}: {t.n_distinct} distinct "
+              f"k-mers resident", file=sys.stderr)
+        parts.append(t)
     words = np.concatenate([t.words for t in parts])
     counts = np.concatenate([t.counts for t in parts])
     assert np.all(words[1:] > words[:-1]), "ranges overlap"
@@ -620,14 +633,22 @@ def count_file_native(path: str, k: int, batch_size: int = 1 << 14,
                                  jnp.asarray(lengths), k, sort=False)
         dcounter.add_sorted_chunk(res[0][:n_used], res[1][:n_used])
 
-    try:
-        for batch in reader:
-            buf.append(batch)
-            if len(buf) >= S:
-                flush()
-        flush()
-    except RuntimeError:
-        reader.close()
-        return None
+    # only reader errors (truncation / multi-line fasta) may trigger
+    # the python fallback; device errors from flush() must propagate —
+    # XlaRuntimeError subclasses RuntimeError and a silent fallback
+    # would rerun the whole file on the slow path just to fail again
+    it = iter(reader)
+    while True:
+        try:
+            batch = next(it)
+        except StopIteration:
+            break
+        except RuntimeError:
+            reader.close()
+            return None
+        buf.append(batch)
+        if len(buf) >= S:
+            flush()
+    flush()
     reader.close()
     return dcounter.finalize()

@@ -185,21 +185,24 @@ class _StrideBudget:
     warm probe) but every new stride costs a ~22s XLA compile; on
     mixed-length inputs that multiplies (the BENCH_r02 cold regression).
     The first `budget` distinct strides pass through exactly; after
-    that, new strides round UP to 128-base multiples, capping total
-    compiles at budget + 8 for len_cap 1024.
+    that, new strides round UP to `coarse`-unit multiples (128 bases:
+    32 for packed-byte strides, 128 for ASCII base strides), capping
+    total compiles at budget + 8 for len_cap 1024.
     """
 
-    def __init__(self, budget: int = 3):
+    def __init__(self, budget: int = 3, coarse: int = 32):
         self.budget = budget
+        self.coarse = coarse
         self.seen: set[int] = set()
 
-    def round(self, stride_bytes: int) -> int:
-        if stride_bytes in self.seen:
-            return stride_bytes
+    def round(self, stride: int) -> int:
+        if stride in self.seen:
+            return stride
         if len(self.seen) < self.budget:
-            self.seen.add(stride_bytes)
-            return stride_bytes
-        coarse = -(-stride_bytes // 32) * 32  # 128-base multiples, packed
+            self.seen.add(stride)
+            return stride
+        c = self.coarse
+        coarse = -(-stride // c) * c
         self.seen.add(coarse)
         return coarse
 
@@ -487,7 +490,7 @@ def classify_fastqs(table: H.KmerTable, paths: Iterable[str],
             tally.add_batch(batch.barcodes, votes[s, :nb, 0],
                             votes[s, :nb, 1], batch.has_n[:nb])
 
-    strides = _StrideBudget()
+    strides = _StrideBudget(coarse=128)  # ASCII strides are in bases
 
     def flush():
         nonlocal pending, buf
@@ -548,7 +551,7 @@ def _classify_fastqs_device_tally(table, paths, batch_size, tally,
         acc = jnp.zeros((cap, 3), jnp.int32)
         buf: list = []
         max_id = -1
-        strides = _StrideBudget()
+        strides = _StrideBudget(coarse=32)   # packed strides: bytes
 
         def flush():
             nonlocal buf, acc, cap
@@ -608,7 +611,7 @@ def _classify_fastqs_native(table, paths, batch_size, tally, super_batch,
         local = np.zeros((1 << 12, 3), np.int64)
         inflight: list = []  # [(device votes, [native batch meta])]
         buf: list = []
-        strides = _StrideBudget()
+        strides = _StrideBudget(coarse=32)   # packed strides: bytes
         # drained per-read rows, folded into `local` in bulk: three
         # bincounts per ~4M reads instead of per batch (each bincount
         # walks the whole barcode range, so batch-wise folding is

@@ -566,13 +566,16 @@ def mkoutput(assembly_path: str, prefix: str, paternal_mer: str,
         # appears only when an earlier opposite-prefer run left its fa).
         out_key = "father" if prefer == "paternal" else "mother"
         other_key = "mother" if prefer == "paternal" else "father"
+        # symlink targets must be basenamed: a relative target resolves
+        # from the LINK's directory, so with a prefix like "out/hap" a
+        # target "out/hap.father.fa" would dangle at "out/out/..."
         primary = p + ".primary.fa"
         if not os.path.exists(primary):
-            os.symlink(f"{p}.{out_key}.fa", primary)
+            os.symlink(os.path.basename(f"{p}.{out_key}.fa"), primary)
         secondary = p + ".secondary.fa"
         other_fa = f"{p}.{other_key}.fa"
         if os.path.exists(other_fa) and not os.path.exists(secondary):
-            os.symlink(other_fa, secondary)
+            os.symlink(os.path.basename(other_fa), secondary)
             result["secondary"] = secondary
         result["primary"] = primary
         return result

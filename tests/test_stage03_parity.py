@@ -77,3 +77,19 @@ def test_classify_segments_fastq_mode():
     classify_segments([str(GOLD / "paternal.mer"), str(GOLD / "maternal.mer")],
                       [str(GOLD / "fastq_mode.fq")], out, fmt="fastq")
     assert out.getvalue() == (GOLD / "fastq_mode.out").read_text()
+
+
+def test_mkoutput_symlinks_with_directory_prefix(tmp_path):
+    """Symlink targets must be basenamed: with prefix 'sub/hap' a raw
+    target 'sub/hap.father.fa' would resolve to 'sub/sub/...' and
+    dangle (links resolve relative to the link's own directory)."""
+    import os
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    fa = sub / "hap.father.fa"
+    fa.write_text(">s\nACGT\n")
+    # simulate what mkoutput does for the primary link
+    primary = str(sub / "hap.primary.fa")
+    os.symlink(os.path.basename(str(fa)), primary)
+    assert os.path.exists(primary)  # resolves (would fail if dangling)
+    assert open(primary).read().startswith(">s")
