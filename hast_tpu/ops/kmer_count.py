@@ -414,6 +414,24 @@ class DeviceCounter:
         return CountTable((hi << np.uint64(32)) | lo, counts, self.k)
 
 
+
+def _assemble_ascii_super_batch(buf: list, S: int):
+    """Zero-padded (S, B, L) super-batch from ASCII ReadBatches, packed
+    for the device kernels.  Shared by the counting drivers (one place
+    for stride/padding rules).  Returns (packed, good, lengths, n_used).
+    """
+    B = buf[0].seqs.shape[0]
+    L = max(b.seqs.shape[1] for b in buf)
+    seqs = np.zeros((S, B, L), np.uint8)
+    lengths = np.zeros((S, B), np.int32)
+    for s, b in enumerate(buf):
+        seqs[s, :, :b.seqs.shape[1]] = b.seqs
+        lengths[s] = b.lengths
+    return (jnp.asarray(E.pack_codes_np(seqs)),
+            jnp.asarray(pack_good_np(seqs)),
+            jnp.asarray(lengths), len(buf))
+
+
 def count_batches(batches: Iterable, k: int,
                   super_batch: int = 8,
                   engine: str = "device") -> CountTable:
@@ -464,19 +482,10 @@ def count_batches(batches: Iterable, k: int,
         nonlocal buf
         if not buf:
             return
-        B = buf[0].seqs.shape[0]
-        L = max(b.seqs.shape[1] for b in buf)
-        seqs = np.zeros((S, B, L), np.uint8)
-        lengths = np.zeros((S, B), np.int32)
-        for s, b in enumerate(buf):
-            seqs[s, :, :b.seqs.shape[1]] = b.seqs
-            lengths[s] = b.lengths
-        res = count_kernel_multi(jnp.asarray(E.pack_codes_np(seqs)),
-                                 jnp.asarray(pack_good_np(seqs)),
-                                 jnp.asarray(lengths), k,
-                                 sort=(engine != "device"))
-        n_used = len(buf)
+        packed, good, lengths, n_used = _assemble_ascii_super_batch(buf, S)
         buf = []
+        res = count_kernel_multi(packed, good, lengths, k,
+                                 sort=(engine != "device"))
         sink(res, n_used)
 
     for batch in batches:
@@ -557,19 +566,11 @@ def count_batches_partitioned(batch_source, k: int, n_parts: int,
             nonlocal buf
             if not buf:
                 return
-            B = buf[0].seqs.shape[0]
-            L = max(b.seqs.shape[1] for b in buf)
-            seqs = np.zeros((S, B, L), np.uint8)
-            lengths = np.zeros((S, B), np.int32)
-            for s, b in enumerate(buf):
-                seqs[s, :, :b.seqs.shape[1]] = b.seqs
-                lengths[s] = b.lengths
-            n_used = len(buf)
+            packed, good, lengths, n_used = \
+                _assemble_ascii_super_batch(buf, S)
             buf = []
-            res = count_kernel_multi_range(
-                jnp.asarray(E.pack_codes_np(seqs)),
-                jnp.asarray(pack_good_np(seqs)),
-                jnp.asarray(lengths), k, *args, sort=False)
+            res = count_kernel_multi_range(packed, good, lengths, k,
+                                           *args, sort=False)
             dcounter.add_sorted_chunk(res[0][:n_used], res[1][:n_used])
 
         for batch in batch_source():
