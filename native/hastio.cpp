@@ -461,15 +461,21 @@ struct Reader {
       good_row(seq, L, &cur.good[static_cast<size_t>(i) * (cap_stride / 8)]);
     cur.lengths[i] = L;
     cur.has_n[i] = memchr(seq, 'N', slen) != nullptr;
-    // classify.cpp:112-119 parseName: between LAST '#' and LAST '/'
-    int s = -1, e = -1;
-    for (size_t j = 0; j < hlen; j++) {
-      if (head[j] == '#') s = static_cast<int>(j);
-      if (head[j] == '/') e = static_cast<int>(j);
+    if (emit_good) {
+      // counting mode: barcodes are never consumed (jellyfish counts
+      // sequence only) — skip the dict work entirely
+      cur.barcode_ids[i] = 0;
+    } else {
+      // classify.cpp:112-119 parseName: between LAST '#' and LAST '/'
+      int s = -1, e = -1;
+      for (size_t j = 0; j < hlen; j++) {
+        if (head[j] == '#') s = static_cast<int>(j);
+        if (head[j] == '/') e = static_cast<int>(j);
+      }
+      const char* b = head + s + 1;
+      size_t bl = (e > s) ? static_cast<size_t>(e - s - 1) : hlen - s - 1;
+      cur.barcode_ids[i] = dict.lookup_or_insert(b, bl);
     }
-    const char* b = head + s + 1;
-    size_t bl = (e > s) ? static_cast<size_t>(e - s - 1) : hlen - s - 1;
-    cur.barcode_ids[i] = dict.lookup_or_insert(b, bl);
     cur_rows++;
     if (cur_rows == batch_size) return emit_batch();
     return true;
