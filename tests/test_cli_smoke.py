@@ -80,3 +80,21 @@ def test_checkgenes_cli():
     out = run_cli(["check-genes", str(ha / "H1.align.txt"),
                    str(ha / "cg.genes.txt")])
     assert out.count(b"\n") == 3  # g1 deduped
+
+
+def test_cli_classify_mesh_golden(tmp_path):
+    """`classify --mesh DPxTP` through the CLI == the golden output."""
+    import pathlib
+    from hast_tpu import cli
+
+    gold = pathlib.Path(__file__).parent / "golden" / "stage01"
+    out = tmp_path / "phased.mesh"
+    cli.main([
+        "classify", "--hap0", str(gold / "hap0.mer"),
+        "--hap1", str(gold / "hap1.mer"),
+        "--read", str(gold / "reads1.fq.gz"),
+        "--read", str(gold / "reads2.fq"),
+        "--weight0", "1.04", "--mesh", "4x2",
+        "--batch-size", "4096", "--output", str(out),
+    ])
+    assert out.read_bytes() == (gold / "phased.barcodes.golden").read_bytes()
