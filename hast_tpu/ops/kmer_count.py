@@ -408,9 +408,13 @@ class DeviceCounter:
                               np.zeros(0, np.int64), self.k)
         rhi, rlo, rc = self._run
         n = self._run_valid
-        hi = np.asarray(rhi)[:n].astype(np.uint64)
-        lo = np.asarray(rlo)[:n].astype(np.uint64)
-        counts = np.asarray(rc)[:n].astype(np.int64)
+        # slice to the exact distinct count ON DEVICE before fetching:
+        # np.asarray(rhi)[:n] would ship the whole pow2-padded arrays
+        # (up to 2x the data; with low-coverage input distinct ~= total
+        # and the padded fetch dominated the counting benchmark)
+        hi = np.asarray(rhi[:n]).astype(np.uint64)
+        lo = np.asarray(rlo[:n]).astype(np.uint64)
+        counts = np.asarray(rc[:n]).astype(np.int64)
         return CountTable((hi << np.uint64(32)) | lo, counts, self.k)
 
 
