@@ -411,10 +411,18 @@ class DeviceCounter:
         # slice to the exact distinct count ON DEVICE before fetching:
         # np.asarray(rhi)[:n] would ship the whole pow2-padded arrays
         # (up to 2x the data; with low-coverage input distinct ~= total
-        # and the padded fetch dominated the counting benchmark)
+        # and the padded fetch dominated the counting benchmark).
+        # counts ship as uint16 (covers any sane coverage incl. most
+        # repeat k-mers) with a scalar overflow escape to raw int32 —
+        # same shape of trick as classify's _pack_acc, no nonzero.
         hi = np.asarray(rhi[:n]).astype(np.uint64)
         lo = np.asarray(rlo[:n]).astype(np.uint64)
-        counts = np.asarray(rc[:n]).astype(np.int64)
+        rc_n = rc[:n]
+        c16 = np.asarray((rc_n & 0xFFFF).astype(jnp.uint16))
+        if int(np.asarray(jnp.sum(rc_n > 0xFFFF, dtype=jnp.int32))):
+            counts = np.asarray(rc_n).astype(np.int64)
+        else:
+            counts = c16.astype(np.int64)
         return CountTable((hi << np.uint64(32)) | lo, counts, self.k)
 
 
