@@ -185,15 +185,17 @@ def _measure(done):
     log(f"ours (cold, incl compile): {ours_s:.2f}s")
     # remote-attached TPU latency is noisy: take the best of two warm
     # runs (each is a fresh end-to-end run incl. table load/transfer)
-    ours_s = run_ours(hap0, hap1, reads)
-    log(f"ours (warm 1): {ours_s:.2f}s")
-    ours_s2 = run_ours(hap0, hap1, reads)
-    log(f"ours (warm 2): {ours_s2:.2f}s")
-    ours_s = min(ours_s, ours_s2)
+    samples = [run_ours(hap0, hap1, reads)]
+    log(f"ours (warm 1): {samples[-1]:.2f}s")
+    samples.append(run_ours(hap0, hap1, reads))
+    log(f"ours (warm 2): {samples[-1]:.2f}s")
+    ours_s = min(samples)
     # the tunnel sometimes degrades 10x for minutes at a time (PERF.md
     # §7); when the measurement is far off the best this machine has
-    # ever shown, take extra samples hoping to catch a healthy window
-    # — more data, still reporting only what was actually measured
+    # ever shown, take extra samples hoping to catch a healthy window.
+    # The headline stays the min, but the median of ALL samples and a
+    # resampled tag are reported alongside so the number is not
+    # silently conditioned on historical bests.
     best_path = CACHE / "best_ever.json"
     best_ever = None
     if best_path.exists():
@@ -204,12 +206,14 @@ def _measure(done):
     extra = 0
     while best_ever and ours_s > 2.5 * best_ever and extra < 4:
         extra += 1
-        s = run_ours(hap0, hap1, reads)
-        log(f"ours (degraded-tunnel resample {extra}): {s:.2f}s")
-        ours_s = min(ours_s, s)
+        samples.append(run_ours(hap0, hap1, reads))
+        log(f"ours (degraded-tunnel resample {extra}): {samples[-1]:.2f}s")
+        ours_s = min(samples)
     if best_ever is None or ours_s < best_ever:
         best_path.write_text(json.dumps({"seconds": ours_s}))
-    log(f"ours (best): {ours_s:.2f}s -> {N_READS / ours_s:,.0f} reads/s")
+    med_s = sorted(samples)[len(samples) // 2]
+    log(f"ours (best): {ours_s:.2f}s, median: {med_s:.2f}s over "
+        f"{len(samples)} samples -> {N_READS / ours_s:,.0f} reads/s")
 
     ref_cache = CACHE / f"ref_time_{N_MARKERS}_{N_READS}.json"
     if ref_cache.exists():
@@ -233,6 +237,9 @@ def _measure(done):
         "value": round(value),
         "unit": "reads/s",
         "vs_baseline": round(ref_s / ours_s, 3),
+        "median_reads_per_s": round(N_READS / med_s),
+        "n_samples": len(samples),
+        "resampled": extra > 0,
     }
     try:
         fields.update(_measure_count(reads))

@@ -532,7 +532,10 @@ def estimate_boundaries(batches_sample, k: int, n_parts: int) -> np.ndarray:
             bounds[p] = sample[min(sample.size - 1,
                                    sample.size * p // n_parts)]
         else:
-            bounds[p] = np.uint64(p) * (np.uint64(1) << np.uint64(62))
+            # python-int arithmetic: uint64 p*(2**62) wraps for p >= 4,
+            # which would make bounds non-monotonic and silently drop
+            # k-mers landing in wrapped ranges
+            bounds[p] = np.uint64((p * 2**64) // n_parts)
     return bounds
 
 

@@ -186,8 +186,10 @@ def build_unshared_markers(
             n_p = pat_final.dump_mer_text(paths["paternal"])
             n_m = mat_final.dump_mer_text(paths["maternal"])
         else:
-            n_p = sum(1 for _ in open(paths["paternal"], "rb"))
-            n_m = sum(1 for _ in open(paths["maternal"], "rb"))
+            with open(paths["paternal"], "rb") as fp:
+                n_p = sum(1 for _ in fp)
+            with open(paths["maternal"], "rb") as fm:
+                n_m = sum(1 for _ in fm)
     print(f"final paternal unique kmer is : {n_p}", file=log)
     print(f"final maternal unique kmer is : {n_m}", file=log)
     timer.report()

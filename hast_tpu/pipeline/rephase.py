@@ -241,7 +241,8 @@ def _segment_hits_batch(table: H.KmerTable, seqs: list[bytes]):
             lengths[j] = len(s)
         good = _UPPER_ACGT[buf]
         v0, v1 = _strict_vote(data, jnp.asarray(buf), jnp.asarray(lengths),
-                              jnp.asarray(good), k, table.max_probe)
+                              jnp.asarray(good), k, table.max_probe,
+                              table.fmt)
         v0 = np.asarray(v0)
         v1 = np.asarray(v1)
         for j in range(len(sub)):
@@ -250,12 +251,15 @@ def _segment_hits_batch(table: H.KmerTable, seqs: list[bytes]):
     return results
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_probe"))
-def _strict_vote(data, seqs_u8, lengths, good, k, max_probe):
+@functools.partial(jax.jit, static_argnames=("k", "max_probe", "fmt"))
+def _strict_vote(data, seqs_u8, lengths, good, k, max_probe, fmt):
     codes = E.encode_bases(seqs_u8)
     hi, lo = E.canonical_kmers(codes, k)
     valid = E.window_valid(good, lengths, k)
-    pay = H.probe(data, hi, lo, max_probe)
+    # fmt must follow the built table: H.build_table auto-picks "quot"
+    # for realistic marker counts, and a full-format probe on quot data
+    # silently returns payload 0 for every key.
+    pay = H.probe_table(data, hi, lo, k, fmt, max_probe)
     pay = jnp.where(valid, pay, 0)
     return (jnp.sum(pay & 1, axis=-1, dtype=jnp.int32),
             jnp.sum((pay >> 1) & 1, axis=-1, dtype=jnp.int32))

@@ -79,6 +79,46 @@ def test_classify_segments_fastq_mode():
     assert out.getvalue() == (GOLD / "fastq_mode.out").read_text()
 
 
+def test_classify_segments_quot_format(tmp_path):
+    """Regression: marker sets big enough for build_table to auto-pick
+    the "quot" slot format (n_buckets >= 2^13 at k=21) must still hit.
+    A full-format probe on quot data returns payload 0 for every key,
+    which silently classified every segment as ambiguous 0.0."""
+    import io
+
+    import numpy as np
+
+    from hast_tpu.ops import encode as E
+    from hast_tpu.ops import kmer_count as KC
+
+    rng = np.random.default_rng(7)
+    K = 21
+    seqs = rng.integers(0, 4, size=(50000, K), dtype=np.int32)
+    hi, lo = E.canonical_kmers_np(seqs, K)
+    words = np.unique(
+        (hi[:, 0].astype(np.uint64) << np.uint64(32)) | lo[:, 0])
+    rng.shuffle(words)
+    n = 20000
+    s0 = KC.words_to_strings(words[:n], K)
+    s1 = KC.words_to_strings(words[n:2 * n], K)
+    p0, p1 = tmp_path / "hap0.mer", tmp_path / "hap1.mer"
+    p0.write_bytes(b"\n".join(s0.tolist()) + b"\n")
+    p1.write_bytes(b"\n".join(s1.tolist()) + b"\n")
+
+    table = R._build_segment_table([str(p0), str(p1)])
+    assert table.fmt == "quot", \
+        "fixture must trigger quot auto-selection to cover the bug"
+
+    fa = tmp_path / "seg.fa"
+    fa.write_bytes(b">1_1_1\n" + b"".join(s0[:50].tolist()) + b"\n")
+    out = io.StringIO()
+    R.classify_segments([str(p0), str(p1)], [str(fa)], out)
+    line = out.getvalue().strip()
+    name, verdict, weight = line.split("\t")
+    assert verdict == "haplotype0", line
+    assert float(weight) >= 50 / n
+
+
 def test_mkoutput_symlinks_with_directory_prefix(tmp_path):
     """Symlink targets must be basenamed: with prefix 'sub/hap' a raw
     target 'sub/hap.father.fa' would resolve to 'sub/sub/...' and
