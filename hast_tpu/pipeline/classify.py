@@ -49,7 +49,8 @@ NULL_BARCODES = (b"0_0_0", b"0_0", b"0")
 
 def load_marker_table(hap0_path: str, hap1_path: str,
                       load: float = 0.7,
-                      snapshot: bool = True) -> H.KmerTable:
+                      snapshot: bool = True,
+                      fmt: str = "auto") -> H.KmerTable:
     """Load two one-kmer-per-line marker files into one combined table.
 
     k is inferred from the first line of hap0 (classify.cpp:35-37);
@@ -62,6 +63,8 @@ def load_marker_table(hap0_path: str, hap1_path: str,
     packing + bucket placement are skipped on re-runs.
     """
     import os
+    if fmt != "auto":
+        snapshot = False   # forced-format tables never reuse snapshots
     cache_path = hap0_path + ".probetable.npz"
     key = tuple(
         float(x) for p in (hap0_path, hap1_path)
@@ -96,7 +99,8 @@ def load_marker_table(hap0_path: str, hap1_path: str,
     lo = np.concatenate([h0_lo, h1_lo])
     pay = np.concatenate([np.ones(h0_hi.size, np.uint32),
                           np.full(h1_hi.size, 2, np.uint32)])
-    table = H.build_table(hi, lo, pay, k, load=load, set_sizes=(n0, n1))
+    table = H.build_table(hi, lo, pay, k, load=load, set_sizes=(n0, n1),
+                          fmt=fmt)
     table.cache_key = key
     print(f"Recorded {h0_hi.size} haplotype 0 specific {k}-mers",
           file=sys.stderr)

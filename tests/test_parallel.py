@@ -19,19 +19,26 @@ from hast_tpu.pipeline import classify as C
 GOLD = pathlib.Path(__file__).parent / "golden" / "stage01"
 
 
-def _table(seed, n=4000, k=21):
+def _table(seed, n=4000, k=21, fmt="auto"):
     rng = np.random.default_rng(seed)
     seqs = rng.integers(0, 4, size=(n, k), dtype=np.int32)
     hi, lo = E.canonical_kmers_np(seqs, k)
     pay = rng.integers(1, 4, n).astype(np.uint32)
-    return H.build_table(hi[:, 0], lo[:, 0], pay, k, set_sizes=(n, n))
+    return H.build_table(hi[:, 0], lo[:, 0], pay, k, set_sizes=(n, n),
+                         fmt=fmt)
 
 
+# every bench-scale table auto-selects "quot" (n_buckets >= 2^13 at
+# k=21) while small fixtures stay "full", so both formats MUST be
+# pinned on the sharded probe path — a quot-only bug was invisible
+# to full-only tests (VERDICT r03 weak #1)
+@pytest.mark.parametrize("fmt", ["full", "quot"])
 @pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2), (2, 4)])
-def test_sharded_classify_matches_single_device(dp, tp):
+def test_sharded_classify_matches_single_device(dp, tp, fmt):
     assert len(jax.devices()) >= dp * tp
     k = 21
-    table = _table(1, k=k)
+    table = _table(1, k=k, fmt=fmt)
+    assert table.fmt == fmt
     mesh = PM.make_mesh(dp * tp, tp=tp)
     tdata = PM.shard_table(mesh, table)
 
@@ -58,11 +65,12 @@ def test_sharded_classify_matches_single_device(dp, tp):
     tally = np.asarray(PM.sharded_classify_step(
         mesh, tdata, jnp.asarray(seqs), jnp.asarray(lengths),
         jnp.asarray(bids), jnp.asarray(has_n), k, table.max_probe,
-        table.n_buckets, 10))
+        table.n_buckets, 10, fmt=table.fmt))
 
     # single-device reference
     v0, v1 = C.vote_kernel(jnp.asarray(table.data), jnp.asarray(seqs),
-                           jnp.asarray(lengths), k, table.max_probe)
+                           jnp.asarray(lengths), k, table.max_probe,
+                           table.fmt)
     v0 = np.where(has_n, 0, np.asarray(v0))
     v1 = np.where(has_n, 0, np.asarray(v1))
     unk = (has_n | ((v0 == 0) & (v1 == 0))).astype(np.int64)
@@ -142,11 +150,15 @@ def test_count_files_sharded_matches_host(tmp_path):
     np.testing.assert_array_equal(ours.counts, want.counts)
 
 
-def test_classify_fastqs_mesh_matches_golden():
-    """Streaming classify on a dp×tp mesh == the golden single run."""
+@pytest.mark.parametrize("fmt", ["full", "quot"])
+def test_classify_fastqs_mesh_matches_golden(fmt):
+    """Streaming classify on a dp×tp mesh == the golden single run,
+    for BOTH slot formats (bench-scale tables are always quot)."""
     mesh = PM.make_mesh(8, tp=2)
     table = C.load_marker_table(str(GOLD / "hap0.mer"),
-                                str(GOLD / "hap1.mer"))
+                                str(GOLD / "hap1.mer"),
+                                snapshot=False, fmt=fmt)
+    assert table.fmt == fmt
     C.erase_adaptors(table)
     tally = C.classify_fastqs_mesh(
         mesh, table, [str(GOLD / "reads1.fq.gz"), str(GOLD / "reads2.fq")],
