@@ -251,43 +251,139 @@ def _measure(done):
     done.set()
 
 
+GENOME_LEN = int(os.environ.get("HAST_BENCH_GENOME", 3_000_000))
+COVERAGE = float(os.environ.get("HAST_BENCH_COVERAGE", 33.0))
+ERR_RATE = 0.002
+READ_LEN = 100
+
+
+def ensure_parent_inputs():
+    """Two parents' shotgun fasta (shared backbone + het SNPs), sized so
+    each parent is ~1M reads at default settings.  Vectorized writer."""
+    import numpy as np
+
+    CACHE.mkdir(parents=True, exist_ok=True)
+    pat_fa = CACHE / "pat_parent.fa"
+    mat_fa = CACHE / "mat_parent.fa"
+    stamp = CACHE / f"parents_{GENOME_LEN}_{COVERAGE}"
+    if stamp.exists():
+        return str(pat_fa), str(mat_fa)
+    log(f"generating 2 parents: {GENOME_LEN} bp genome, "
+        f"{COVERAGE}x coverage ...")
+    from hast_tpu.utils.synthetic import make_trio_genomes
+    pat_g, mat_g = make_trio_genomes(77, GENOME_LEN, het_rate=0.001)
+    comp = np.zeros(256, np.uint8)
+    for a, b in zip(b"ACGT", b"TGCA"):
+        comp[a] = b
+    B = np.frombuffer(b"ACGT", np.uint8)
+    for seed, g_bytes, path in ((1, pat_g, pat_fa), (2, mat_g, mat_fa)):
+        rng = np.random.default_rng(seed)
+        g = np.frombuffer(g_bytes, np.uint8)
+        n = int(GENOME_LEN * COVERAGE / READ_LEN)
+        pos = rng.integers(0, GENOME_LEN - READ_LEN + 1, n)
+        reads = g[pos[:, None] + np.arange(READ_LEN)]
+        err = rng.random((n, READ_LEN)) < ERR_RATE
+        reads = np.where(err, B[rng.integers(0, 4, (n, READ_LEN))], reads)
+        flip = rng.integers(0, 2, n).astype(bool)
+        reads[flip] = comp[reads[flip][:, ::-1]]
+        with open(path, "wb", buffering=1 << 22) as f:
+            chunk = 1 << 18
+            head = np.frombuffer(b">r\n", np.uint8)  # anonymous reads
+            for s in range(0, n, chunk):
+                e = min(n, s + chunk)
+                block = np.concatenate(
+                    [np.broadcast_to(head, (e - s, 3)), reads[s:e],
+                     np.full((e - s, 1), ord("\n"), np.uint8)], axis=1)
+                f.write(block.tobytes())
+    stamp.touch()
+    return str(pat_fa), str(mat_fa)
+
+
+def _markers_digest(path):
+    import hashlib
+    lines = sorted(open(path, "rb").read().split())
+    return hashlib.sha256(b"\n".join(lines)).hexdigest(), len(lines)
+
+
+def run_reference_stage00(pat_fa, mat_fa):
+    """The reference's FULL stage 00 (build_unshared_kmers.sh: count x2,
+    dump x2, auto-bounds, range-filter dumps, mix-count uniqueness
+    trick, intersection re-count) on this host's CPUs, in a fresh dir."""
+    import shutil as sh
+    workdir = CACHE / "ref_stage00"
+    if workdir.exists():
+        sh.rmtree(workdir)
+    workdir.mkdir()
+    script = ("/root/reference/00.build_unshare_kmers_by_jellyfish/"
+              "build_unshared_kmers.sh")
+    threads = os.cpu_count() or 8
+    t0 = time.perf_counter()
+    subprocess.run(
+        ["bash", script, "--paternal", pat_fa, "--maternal", mat_fa,
+         "--thread", str(threads), "--memory", "2", "--auto_bounds"],
+        cwd=workdir, check=True, stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL)
+    return time.perf_counter() - t0, workdir
+
+
+def run_ours_stage00(pat_fa, mat_fa, tag):
+    import shutil as sh
+    from hast_tpu.pipeline import markers as M
+    workdir = CACHE / f"ours_stage00_{tag}"
+    if workdir.exists():
+        sh.rmtree(workdir)
+    workdir.mkdir()
+    t0 = time.perf_counter()
+    paths = M.build_unshared_markers(
+        [pat_fa], [mat_fa], out_dir=str(workdir), auto_bounds=True,
+        engine="device")
+    return time.perf_counter() - t0, paths
+
+
 def _measure_count(reads):
-    """Stage-00 counting throughput vs the bundled jellyfish binary
-    (BASELINE.md 'parental k-mers/s counted'); extra fields folded into
+    """Stage-00 end-to-end: our device-resident marker build vs the
+    reference's full build_unshared_kmers.sh on the same parent reads
+    (BASELINE.md 'parental k-mers/s counted'); extra fields fold into
     the headline JSON line so the driver's one-line contract holds."""
     if os.environ.get("HAST_BENCH_SKIP_COUNT"):
         return {}
-    from hast_tpu.pipeline.markers import count_files
+    del reads
+    pat_fa, mat_fa = ensure_parent_inputs()
+    n_reads = int(GENOME_LEN * COVERAGE / READ_LEN)
+    kmers = 2 * n_reads * (READ_LEN - K + 1)
 
-    t0 = time.perf_counter()
-    table = count_files([reads], K)
-    cold_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    table = count_files([reads], K)
-    ours_s = min(cold_s, time.perf_counter() - t0)
-    kmers = table.total
-    log(f"count ours: {ours_s:.2f}s (cold {cold_s:.2f}s) -> "
-        f"{kmers / ours_s:,.0f} kmers/s")
+    cold_s, paths = run_ours_stage00(pat_fa, mat_fa, "a")
+    log(f"stage00 ours (cold): {cold_s:.2f}s")
+    warm_s, paths = run_ours_stage00(pat_fa, mat_fa, "b")
+    log(f"stage00 ours (warm): {warm_s:.2f}s")
+    ours_s = min(cold_s, warm_s)
 
-    jelly = ("/root/reference/00.build_unshare_kmers_by_jellyfish/"
-             "jellyfish-linux")
-    jf_cache = CACHE / f"jf_time_{N_MARKERS}_{N_READS}.json"
-    if jf_cache.exists():
-        jf_s = json.loads(jf_cache.read_text())["seconds"]
-        log(f"jellyfish (cached): {jf_s:.2f}s")
+    ref_cache = CACHE / f"ref00_{GENOME_LEN}_{COVERAGE}.json"
+    if ref_cache.exists():
+        r = json.loads(ref_cache.read_text())
+        ref_s, ref_digests = r["seconds"], r["digests"]
+        log(f"reference stage00 (cached): {ref_s:.2f}s")
     else:
-        threads = os.cpu_count() or 8
-        t0 = time.perf_counter()
-        subprocess.run([jelly, "count", "-m", str(K), "-s", "1G",
-                        "-t", str(threads), "-C", "-o",
-                        str(CACHE / "bench.jf"), reads], check=True,
-                       stdout=subprocess.DEVNULL,
-                       stderr=subprocess.DEVNULL)
-        jf_s = time.perf_counter() - t0
-        jf_cache.write_text(json.dumps({"seconds": jf_s}))
-        log(f"jellyfish count: {jf_s:.2f}s -> {kmers / jf_s:,.0f} kmers/s")
+        ref_s, ref_dir = run_reference_stage00(pat_fa, mat_fa)
+        ref_digests = {
+            p: _markers_digest(str(ref_dir / f"{p}.unique.filter.mer"))
+            for p in ("paternal", "maternal")}
+        ref_cache.write_text(json.dumps(
+            {"seconds": ref_s, "digests": ref_digests}))
+        log(f"reference stage00: {ref_s:.2f}s")
+
+    for p in ("paternal", "maternal"):
+        ours_d = list(_markers_digest(paths[p]))
+        if ours_d != list(ref_digests[p]):
+            log(f"WARNING: stage00 {p} marker set mismatch vs reference! "
+                f"ours={ours_d} ref={ref_digests[p]}")
+    log(f"stage00 ours (best): {ours_s:.2f}s -> "
+        f"{kmers / ours_s:,.0f} kmers/s; vs ref {ref_s / ours_s:.2f}x")
     return {"count_kmers_per_s": round(kmers / ours_s),
-            "count_vs_jellyfish": round(jf_s / ours_s, 3)}
+            "count_vs_jellyfish": round(ref_s / ours_s, 3),
+            "count_scope": "stage00_e2e",
+            "count_cold_s": round(cold_s, 2),
+            "count_warm_s": round(warm_s, 2)}
 
 
 if __name__ == "__main__":

@@ -339,7 +339,7 @@ class DeviceCounter:
 
     def __init__(self, k: int, fold_above: int = 48_000_000):
         self.k = k
-        self._chunks: list = []      # flat device (hi, lo), sorted+pads
+        self._chunks: list = []      # (hi, lo, counts|None) device arrays
         self._chunk_elems = 0
         self._run = None             # (hi, lo, counts int32) RLE'd, padded
         self._run_valid = 0          # distinct keys in the run
@@ -348,10 +348,24 @@ class DeviceCounter:
     def add_sorted_chunk(self, hi: jax.Array, lo: jax.Array) -> None:
         hi = hi.reshape(-1)
         lo = lo.reshape(-1)
-        self._chunks.append((hi, lo))
+        self._chunks.append((hi, lo, None))
         self._chunk_elems += hi.shape[0]
         if self._chunk_elems >= self._fold_above:
             self._fold()
+
+    def merge_device(self, other: "DeviceCounter") -> None:
+        """Union-sum another DeviceCounter's folded run into this one
+        without any device->host traffic (its RLE'd run enters the next
+        fold as a weighted chunk)."""
+        other._fold(final=True)
+        if other._run is not None and other._run_valid:
+            rhi, rlo, rc = other._run
+            self._chunks.append((rhi, rlo, rc))
+            self._chunk_elems += rhi.shape[0]
+            other._run = None
+            other._run_valid = 0
+            if self._chunk_elems >= self._fold_above:
+                self._fold()
 
     def _fold(self, final: bool = False) -> None:
         # settle the PREVIOUS fold's deferred shrink first: its
@@ -363,9 +377,10 @@ class DeviceCounter:
         self._settle()
         if not self._chunks and self._run is not None:
             return
-        his = [h for h, _ in self._chunks]
-        los = [l for _, l in self._chunks]
-        counts = [jnp.ones(h.shape[0], jnp.int32) for h in his]
+        his = [h for h, _, _ in self._chunks]
+        los = [l for _, l, _ in self._chunks]
+        counts = [c if c is not None else jnp.ones(h.shape[0], jnp.int32)
+                  for h, _, c in self._chunks]
         if self._run is not None:
             his.append(self._run[0])
             los.append(self._run[1])
@@ -401,6 +416,19 @@ class DeviceCounter:
         self._run = (rhi, rlo, rc)
         self._run_valid = n
 
+    def finalize_device(self) -> "DeviceCountTable":
+        """Finish folding but keep the table in HBM (stage 00's
+        device-resident path: histo / set algebra / range filter all
+        happen on device and only final markers ever ship to the host).
+        """
+        self._fold(final=True)
+        if self._run is None:
+            z = jnp.zeros(0, jnp.uint32)
+            return DeviceCountTable(z, z, jnp.zeros(0, jnp.int32), 0,
+                                    self.k)
+        rhi, rlo, rc = self._run
+        return DeviceCountTable(rhi, rlo, rc, self._run_valid, self.k)
+
     def finalize(self) -> CountTable:
         self._fold(final=True)
         if self._run is None:
@@ -427,18 +455,163 @@ class DeviceCounter:
 
 
 
+# ---------------------------------------------------------------------------
+# device-resident count tables (stage-00 algebra without d2h round-trips)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("high",))
+def _histo_kernel(counts: jax.Array, high: int):
+    """Per-count-value histogram on device (pads have count 0 -> bin 0,
+    which `histo_rows` never reads; counts > high lump into high+1)."""
+    c = jnp.clip(counts, 0, high + 1)
+    # pads carry count 0; bin 0 is not a real count value — zero it so
+    # device and host histograms are bit-identical
+    return jnp.bincount(c, length=high + 2).at[0].set(0)
+
+
+@jax.jit
+def _total_kernel(counts: jax.Array):
+    """Exact total as two int32 limb arrays of 4096-segment partial
+    sums (device int64 is unavailable with x64 off; 4096 * 2^14 and
+    4096 * 2^17 both fit int32 comfortably).  Host combines exactly."""
+    n = counts.shape[0]
+    pad = (-n) % 4096
+    c = jnp.concatenate([counts, jnp.zeros(pad, jnp.int32)]) if pad \
+        else counts
+    c = c.reshape(-1, 4096)
+    lo = jnp.sum(c & 0x3FFF, axis=1, dtype=jnp.int32)
+    hi = jnp.sum(c >> 14, axis=1, dtype=jnp.int32)
+    return lo, hi
+
+
+@jax.jit
+def _unique_filter_kernel(a_hi, a_lo, a_c, b_hi, b_lo, b_c,
+                          a_lower, a_upper, b_lower, b_upper):
+    """keep masks of the stage-00 marker algebra for BOTH parents in one
+    sorted merge: keep_x = (key unique to x) & count in x's bounds.
+
+    Both inputs are distinct-key sorted runs (sentinel-padded).  One
+    lax.sort of the concatenation with a source tag decides membership:
+    an A-row equal to its successor (which sorts as the B copy, tags
+    order A first) is shared; a B-row equal to its predecessor likewise.
+    Sentinel pads match each other and self-eliminate (count 0 anyway).
+    Bounds are traced scalars — no recompile per bounds choice.
+    """
+    na = a_hi.shape[0]
+    nb = b_hi.shape[0]
+    hi = jnp.concatenate([a_hi, b_hi])
+    lo = jnp.concatenate([a_lo, b_lo])
+    tag = jnp.concatenate([jnp.zeros(na, jnp.int32),
+                           jnp.ones(nb, jnp.int32)])
+    idx = jnp.concatenate([jnp.arange(na, dtype=jnp.int32),
+                           jnp.arange(nb, dtype=jnp.int32)])
+    hi_s, lo_s, tag_s, idx_s = jax.lax.sort((hi, lo, tag, idx),
+                                            num_keys=3)
+    eq_next = (hi_s[:-1] == hi_s[1:]) & (lo_s[:-1] == lo_s[1:])
+    f = jnp.zeros(1, bool)
+    a_shared_s = jnp.concatenate([eq_next, f]) & (tag_s == 0)
+    b_shared_s = jnp.concatenate([f, eq_next]) & (tag_s == 1)
+    a_shared = jnp.zeros(na, bool).at[
+        jnp.where(tag_s == 0, idx_s, 0)].max(a_shared_s)
+    b_shared = jnp.zeros(nb, bool).at[
+        jnp.where(tag_s == 1, idx_s, 0)].max(b_shared_s)
+    keep_a = (~a_shared) & (a_c >= a_lower) & (a_c <= a_upper)
+    keep_b = (~b_shared) & (b_c >= b_lower) & (b_c <= b_upper)
+    return keep_a, keep_b
+
+
+@jax.jit
+def _compact_kernel(hi, lo, keep):
+    """Move kept keys to the front (ascending; dropped keys become
+    sentinels and sort to the end) and count them."""
+    hi_s, lo_s = jax.lax.sort(
+        (jnp.where(keep, hi, _SENT), jnp.where(keep, lo, _SENT)),
+        num_keys=2)
+    return hi_s, lo_s, jnp.sum(keep, dtype=jnp.int32)
+
+
+@dataclasses.dataclass
+class DeviceCountTable:
+    """Sorted (canonical k-mer -> count) table resident in device HBM.
+
+    The d2h-free twin of :class:`CountTable`: histograms reduce on
+    device to a (high+2,) vector, the marker set algebra
+    (:func:`device_marker_algebra`) runs as device sorts, and only
+    final marker rows are ever fetched.  hi/lo are sentinel-padded to
+    the fold's power-of-two size; counts are 0 on pads.
+    """
+
+    hi: jax.Array
+    lo: jax.Array
+    counts: jax.Array
+    n_valid: int
+    k: int
+
+    @property
+    def n_distinct(self) -> int:
+        return self.n_valid
+
+    @property
+    def total(self) -> int:
+        lo, hi = _total_kernel(self.counts)
+        return int(np.asarray(lo).astype(np.int64).sum()
+                   + (np.asarray(hi).astype(np.int64).sum() << 14))
+
+    def histo(self, low: int = 1, high: int = 10000) -> np.ndarray:
+        return np.asarray(_histo_kernel(self.counts, high)).astype(np.int64)
+
+    def fetch(self) -> CountTable:
+        """Full device->host fetch (tests / interop; NOT the hot path)."""
+        n = self.n_valid
+        hi = np.asarray(self.hi[:n]).astype(np.uint64)
+        lo = np.asarray(self.lo[:n]).astype(np.uint64)
+        counts = np.asarray(self.counts[:n]).astype(np.int64)
+        return CountTable((hi << np.uint64(32)) | lo, counts, self.k)
+
+
+def device_marker_algebra(pat: DeviceCountTable, mat: DeviceCountTable,
+                          p_lower: int, p_upper: int,
+                          m_lower: int, m_upper: int
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """unique(parent) ∩ count-range(parent) for both parents, on device.
+
+    The whole reference stage-00 algebra
+    (00.build_unshare_kmers_by_jellyfish/build_unshared_kmers.sh:257-298:
+    dump -L/-U range filters + the 2*mat+1*pat mix-count uniqueness
+    trick + the count==2 intersection) collapses to one sorted-merge
+    kernel over the two HBM-resident tables; device->host then carries
+    ONLY the final marker words (~100x smaller than the distinct sets).
+    Returns (paternal_words, maternal_words) as sorted uint64 arrays.
+    """
+    keep_p, keep_m = _unique_filter_kernel(
+        pat.hi, pat.lo, pat.counts, mat.hi, mat.lo, mat.counts,
+        jnp.int32(p_lower), jnp.int32(p_upper),
+        jnp.int32(m_lower), jnp.int32(m_upper))
+    p_hi, p_lo, p_n = _compact_kernel(pat.hi, pat.lo, keep_p)
+    m_hi, m_lo, m_n = _compact_kernel(mat.hi, mat.lo, keep_m)
+    pn = int(np.asarray(p_n))
+    mn = int(np.asarray(m_n))
+    p_words = (np.asarray(p_hi[:pn]).astype(np.uint64) << np.uint64(32)) \
+        | np.asarray(p_lo[:pn]).astype(np.uint64)
+    m_words = (np.asarray(m_hi[:mn]).astype(np.uint64) << np.uint64(32)) \
+        | np.asarray(m_lo[:mn]).astype(np.uint64)
+    return p_words, m_words
+
+
 def _assemble_ascii_super_batch(buf: list, S: int):
     """Zero-padded (S, B, L) super-batch from ASCII ReadBatches, packed
     for the device kernels.  Shared by the counting drivers (one place
     for stride/padding rules).  Returns (packed, good, lengths, n_used).
     """
-    B = buf[0].seqs.shape[0]
+    B = max(b.seqs.shape[0] for b in buf)
     L = max(b.seqs.shape[1] for b in buf)
+    L = -(-L // 8) * 8   # pack_good_np packs 8 validity bits per byte
     seqs = np.zeros((S, B, L), np.uint8)
     lengths = np.zeros((S, B), np.int32)
     for s, b in enumerate(buf):
-        seqs[s, :, :b.seqs.shape[1]] = b.seqs
-        lengths[s] = b.lengths
+        seqs[s, :b.seqs.shape[0], :b.seqs.shape[1]] = b.seqs
+        lengths[s, :b.lengths.shape[0]] = b.lengths
     return (jnp.asarray(E.pack_codes_np(seqs)),
             jnp.asarray(pack_good_np(seqs)),
             jnp.asarray(lengths), len(buf))
@@ -446,7 +619,8 @@ def _assemble_ascii_super_batch(buf: list, S: int):
 
 def count_batches(batches: Iterable, k: int,
                   super_batch: int = 8,
-                  engine: str = "device") -> CountTable:
+                  engine: str = "device",
+                  finalize: bool = True) -> "CountTable | DeviceCounter":
     """Count canonical k-mers over an iterable of ReadBatches.
 
     Batches group into super-batches so each device interaction
@@ -457,6 +631,9 @@ def count_batches(batches: Iterable, k: int,
     engine="host": every sorted chunk is fetched and merged host-side
     (:class:`Counter`) — the fallback when device memory is tight.
     Identical tables either way.
+
+    finalize=False (device engine only) returns the DeviceCounter
+    itself, still HBM-resident — the stage-00 device-algebra path.
     """
     S = super_batch
     buf: list = []
@@ -469,7 +646,7 @@ def count_batches(batches: Iterable, k: int,
             dcounter.add_sorted_chunk(res[0][:n_used], res[1][:n_used])
 
         def done():
-            return dcounter.finalize()
+            return dcounter if not finalize else dcounter.finalize()
     else:
         counter = Counter(k)
         pending: list = [None]
@@ -604,7 +781,9 @@ def count_batches_partitioned(batch_source, k: int, n_parts: int,
 
 
 def count_file_native(path: str, k: int, batch_size: int = 1 << 14,
-                      super_batch: int = 8) -> "CountTable | None":
+                      super_batch: int = 8,
+                      finalize: bool = True
+                      ) -> "CountTable | DeviceCounter | None":
     """Count one fasta/fastq file via the native counting reader.
 
     The C++ threads decode, 2-bit pack and build the ACGT-validity
@@ -667,4 +846,4 @@ def count_file_native(path: str, k: int, batch_size: int = 1 << 14,
             flush()
     flush()
     reader.close()
-    return dcounter.finalize()
+    return dcounter if not finalize else dcounter.finalize()

@@ -61,7 +61,27 @@ def count_files(paths: Sequence[str], k: int,
     return counter.finalize()
 
 
-def histo_rows(table: KC.CountTable, high: int = 10000):
+def count_files_device(paths: Sequence[str], k: int,
+                       batch_size: int = FQ.DEFAULT_BATCH
+                       ) -> KC.DeviceCountTable:
+    """Count canonical k-mers keeping the table resident in HBM.
+
+    Same engines as :func:`count_files` (native reader with python
+    fallback) but nothing is fetched: multi-file runs union-sum via
+    :meth:`DeviceCounter.merge_device` and the result stays on device
+    for the stage-00 histogram/set algebra."""
+    total = KC.DeviceCounter(k)
+    for path in paths:
+        dc = KC.count_file_native(path, k, batch_size, finalize=False)
+        if dc is None:
+            dc = KC.count_batches(
+                FQ.sequence_batches(path, k, batch_size), k,
+                finalize=False)
+        total.merge_device(dc)
+    return total.finalize_device()
+
+
+def histo_rows(table, high: int = 10000):
     """(count_value, n_kmers) rows exactly as `jellyfish histo` prints:
     non-zero bins only, counts > high lumped into the high+1 row."""
     h = table.histo(high=high)
@@ -116,12 +136,36 @@ def build_unshared_markers(
     p_lower: int = DEFAULT_LOWER, p_upper: int = DEFAULT_UPPER,
     m_lower: int = DEFAULT_LOWER, m_upper: int = DEFAULT_UPPER,
     batch_size: int = FQ.DEFAULT_BATCH, log=sys.stderr,
-    n_parts: int | None = None,
+    n_parts: int | None = None, engine: str | None = None,
 ) -> dict[str, str]:
     """Full stage 00: parent counting -> bounds -> unique.filter.mer files.
 
     Returns paths of the two marker files (the stage 00/01 interface).
+
+    engine:
+      "device" — both parents' count tables stay resident in HBM;
+        histogram, set difference and range filter run as device
+        kernels and only the final marker rows are fetched (d2h is the
+        tunnel bottleneck: ~100x less traffic than fetching the
+        distinct sets).  One all-or-nothing checkpoint step.
+      "host"  — tables are fetched and snapshotted per sub-step
+        (.counts.npz), giving the reference's finer-grained
+        step_NN_done resume (build_unshared_kmers.sh:167-298) at the
+        cost of shipping every distinct k-mer to the host.
+      None/"auto" — device when a non-CPU backend is attached and
+        single-pass; host otherwise.  HAST_STAGE00_ENGINE overrides.
     """
+    if engine is None:
+        engine = os.environ.get("HAST_STAGE00_ENGINE", "auto")
+    if engine == "auto":
+        import jax
+        engine = "device" if jax.default_backend() != "cpu" \
+            and (n_parts or 1) == 1 else "host"
+    if engine == "device" and (n_parts or 1) == 1:
+        return _build_unshared_markers_device(
+            paternal, maternal, out_dir, k, auto_bounds,
+            p_lower, p_upper, m_lower, m_upper, batch_size, log)
+
     from hast_tpu.utils.checkpoint import step
     from hast_tpu.utils.profiling import PhaseTimer
     timer = PhaseTimer(log=log)
@@ -185,6 +229,80 @@ def build_unshared_markers(
                     m_lower, m_upper)
             n_p = pat_final.dump_mer_text(paths["paternal"])
             n_m = mat_final.dump_mer_text(paths["maternal"])
+        else:
+            with open(paths["paternal"], "rb") as fp:
+                n_p = sum(1 for _ in fp)
+            with open(paths["maternal"], "rb") as fm:
+                n_m = sum(1 for _ in fm)
+    print(f"final paternal unique kmer is : {n_p}", file=log)
+    print(f"final maternal unique kmer is : {n_m}", file=log)
+    timer.report()
+    return paths
+
+
+def _dump_words(words, k: int, path: str) -> int:
+    s = KC.words_to_strings(words, k)
+    with open(path, "wb") as f:
+        if s.size:
+            f.write(b"\n".join(s.tolist()) + b"\n")
+    return int(s.size)
+
+
+def _build_unshared_markers_device(
+        paternal, maternal, out_dir, k, auto_bounds,
+        p_lower, p_upper, m_lower, m_upper, batch_size, log
+) -> dict[str, str]:
+    """Device-resident stage 00 (see build_unshared_markers docstring).
+
+    Everything between reading input bytes and writing the final
+    `.mer`/`.histo`/`.bounds.txt` text happens in HBM — the analog of
+    jellyfish doing its whole count inside the in-memory -s hash, but
+    extended over the ENTIRE stage: the reference round-trips every
+    sub-step through dump files on disk
+    (build_unshared_kmers.sh:229-298) while this fetches KB of
+    histogram plus the final marker rows only.
+    """
+    from hast_tpu.utils.checkpoint import step
+    from hast_tpu.utils.profiling import PhaseTimer
+    timer = PhaseTimer(log=log)
+    j = lambda name: os.path.join(out_dir, name)
+    print("extract unique mers (device-resident TPU count tables) ...",
+          file=log)
+    paths = {
+        "paternal": j("paternal.unique.filter.mer"),
+        "maternal": j("maternal.unique.filter.mer"),
+    }
+    with step("00.device_markers", out_dir, log=log) as todo:
+        if todo:
+            with timer.phase("count_maternal"):
+                mat = count_files_device(maternal, k, batch_size)
+            timer.add_items("count_maternal", mat.total)
+            with timer.phase("count_paternal"):
+                pat = count_files_device(paternal, k, batch_size)
+            timer.add_items("count_paternal", pat.total)
+            print(f"  maternal: {mat.n_distinct} distinct / {mat.total} "
+                  f"total {k}-mers", file=log)
+            print(f"  paternal: {pat.n_distinct} distinct / {pat.total} "
+                  f"total {k}-mers", file=log)
+            with timer.phase("bounds"):
+                m_rows, p_rows = histo_rows(mat), histo_rows(pat)
+                write_histo(m_rows, j("maternal.kmercount.histo"))
+                write_histo(p_rows, j("paternal.kmercount.histo"))
+                if auto_bounds:
+                    mb, pb = find_bounds(m_rows), find_bounds(p_rows)
+                    write_bounds(mb, j("maternal.bounds.txt"))
+                    write_bounds(pb, j("paternal.bounds.txt"))
+                    m_lower, m_upper = mb["LOWER_INDEX"], mb["UPPER_INDEX"]
+                    p_lower, p_upper = pb["LOWER_INDEX"], pb["UPPER_INDEX"]
+            print(f"  the real used kmer-count bounds of maternal is "
+                  f"[ {m_lower} , {m_upper} ] ", file=log)
+            print(f"  the real used kmer-count bounds of paternal is "
+                  f"[ {p_lower} , {p_upper} ] ", file=log)
+            with timer.phase("marker_algebra"):
+                p_words, m_words = KC.device_marker_algebra(
+                    pat, mat, p_lower, p_upper, m_lower, m_upper)
+            n_p = _dump_words(p_words, k, paths["paternal"])
+            n_m = _dump_words(m_words, k, paths["maternal"])
         else:
             with open(paths["paternal"], "rb") as fp:
                 n_p = sum(1 for _ in fp)

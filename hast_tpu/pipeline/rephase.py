@@ -183,6 +183,8 @@ _UPPER_ACGT = np.zeros(256, bool)
 for _c in b"ACGT":
     _UPPER_ACGT[_c] = True
 
+_SEG = 4096   # device piece length (long records chop with k-1 overlap)
+
 
 def _build_segment_table(hap_files: list[str]):
     """Combined canonical table; normalization uses marker LINE counts
@@ -204,30 +206,49 @@ def _build_segment_table(hap_files: list[str]):
     return table
 
 
-def _segment_hits_batch(table: H.KmerTable, seqs: list[bytes]):
-    """Vectorized (device) version of _segment_hits over many sequences.
+def _segment_hits_stream(table: H.KmerTable, records,
+                         target_pieces: int = 2048):
+    """Stream (names, hits) over record chunks of bounded device work.
 
-    Scale bound (deliberate): all records are held in memory and pieces
-    are assembled with a python loop — right-sized for stage-03 inputs,
-    which are Supernova bubble segments (thousands of records, ~kb
-    each; the whole phb.12.fa of a human assembly is <1 GB).  The
-    billion-read streaming path is stage 01 (pipeline/classify), not
-    this; if stage-03 inputs ever grow past memory, stream
-    fasta_records and reuse classify's batched reader instead.
+    The reference classifier streams segments through a job pool with
+    10000/3000 watermarks (03/src_main/classify.cpp:180-230) so memory
+    stays constant in the input size; this is the same contract: only
+    one chunk of records (~target_pieces device pieces, plus the
+    largest single record) is resident at a time, and verdicts emit in
+    input order chunk by chunk.
     """
+    k = table.k
+    step = _SEG - (k - 1)
+    names: list[bytes] = []
+    seqs: list[bytes] = []
+    n_pieces = 0
+    for head, seq in records:
+        names.append(head)
+        seqs.append(seq)
+        if len(seq) >= k:
+            n_pieces += max(1, -(-(len(seq) - (k - 1)) // step))
+        if n_pieces >= target_pieces:
+            yield names, _segment_hits_batch(table, seqs)
+            names, seqs, n_pieces = [], [], 0
+    if names:
+        yield names, _segment_hits_batch(table, seqs)
+
+
+def _segment_hits_batch(table: H.KmerTable, seqs: list[bytes]):
+    """Vectorized (device) hit counts over one bounded chunk of
+    sequences (callers stream chunks via _segment_hits_stream)."""
     k = table.k
     data = jnp.asarray(table.data)
     results = np.zeros((len(seqs), 2), np.int64)
     # chunk all sequences into bounded pieces with k-1 overlap
-    SEG = 4096
-    step = SEG - (k - 1)
+    step = _SEG - (k - 1)
     pieces: list[bytes] = []
     owner: list[int] = []
     for i, seq in enumerate(seqs):
         if len(seq) < k:
             continue
         for p in range(0, max(1, len(seq) - (k - 1)), step):
-            pieces.append(seq[p:p + SEG])
+            pieces.append(seq[p:p + _SEG])
             owner.append(i)
     B = 512
     for start in range(0, len(pieces), B):
@@ -277,15 +298,14 @@ def classify_segments(hap_files: list[str], read_files: list[str], out,
     totals = table.set_sizes
     for path in read_files:
         if fmt == "fasta":
-            records = [(head, seq) for head, seq in FQ.fasta_records(path)]
+            records = FQ.fasta_records(path)
         else:
-            records = [(rec[0][1:], rec[1])
-                       for rec in FQ.fastq_records(path)]
-        hits = _segment_hits_batch(table, [seq for _, seq in records])
-        for i, (head, _) in enumerate(records):
-            name = head.decode()
-            counts = [hits[i, 0] / totals[0], hits[i, 1] / totals[1]]
-            out.write(_verdict_line(name, counts))
+            records = ((rec[0][1:], rec[1])
+                       for rec in FQ.fastq_records(path))
+        for names, hits in _segment_hits_stream(table, records):
+            for i, head in enumerate(names):
+                counts = [hits[i, 0] / totals[0], hits[i, 1] / totals[1]]
+                out.write(_verdict_line(head.decode(), counts))
 
 
 def _verdict_line(name: str, counts: list[float]) -> str:

@@ -15,13 +15,17 @@ from hast_tpu.pipeline import markers as M
 GOLD = pathlib.Path(__file__).parent / "golden" / "stage00"
 
 
-@pytest.fixture(scope="module")
-def built(tmp_path_factory):
-    out = tmp_path_factory.mktemp("stage00")
+@pytest.fixture(scope="module", params=["host", "device"])
+def built(tmp_path_factory, request):
+    """Both stage-00 engines must produce identical text artifacts:
+    "host" fetches + snapshots per sub-step, "device" keeps the count
+    tables in HBM and fetches only final markers."""
+    out = tmp_path_factory.mktemp(f"stage00_{request.param}")
     paths = M.build_unshared_markers(
         paternal=[str(GOLD / "paternal.reads.fa.gz")],
         maternal=[str(GOLD / "maternal.reads.fa.gz")],
-        out_dir=str(out), auto_bounds=True, batch_size=16384)
+        out_dir=str(out), auto_bounds=True, batch_size=16384,
+        engine=request.param)
     return out, paths
 
 
@@ -97,6 +101,70 @@ def test_device_counter_matches_host_counter():
     np.testing.assert_array_equal(dev.words, host.words)
     np.testing.assert_array_equal(dev.counts, host.counts)
     assert dev.total == host.total and dev.total > 0
+
+
+def test_device_table_matches_host_table():
+    """DeviceCountTable (histo/total/fetch) == the host CountTable on
+    the same input, and device_marker_algebra == the host
+    difference+filter_range composition."""
+    from hast_tpu.ops import kmer_count as KC
+
+    rng = np.random.default_rng(5)
+    B, L, k = 96, 80, 21
+    letters = np.frombuffer(b"ACGTN", np.uint8)
+
+    def batches(seed):
+        r = np.random.default_rng(seed)
+        out = []
+        for _ in range(5):
+            seqs = letters[r.integers(0, 5, (B, L))]
+            seqs[1::4] = seqs[0]          # duplicates -> counts > 1
+            lengths = r.integers(k, L + 1, B).astype(np.int32)
+            out.append(type("B", (), dict(seqs=seqs, lengths=lengths))())
+        return out
+
+    del rng
+    mat_b, pat_b = batches(21), batches(22)
+    dmat = KC.count_batches(mat_b, k, finalize=False).finalize_device()
+    dpat = KC.count_batches(pat_b, k, finalize=False).finalize_device()
+    hmat = KC.count_batches(batches(21), k)
+    hpat = KC.count_batches(batches(22), k)
+
+    assert dmat.n_distinct == hmat.n_distinct
+    assert dmat.total == hmat.total
+    np.testing.assert_array_equal(dmat.histo(), hmat.histo())
+    f = dmat.fetch()
+    np.testing.assert_array_equal(f.words, hmat.words)
+    np.testing.assert_array_equal(f.counts, hmat.counts)
+
+    for (pl, pu, ml, mu) in [(1, 3, 1, 3), (2, 10, 1, 1), (1, 10**6, 1, 10**6)]:
+        p_words, m_words = KC.device_marker_algebra(dpat, dmat,
+                                                    pl, pu, ml, mu)
+        want_p = hpat.difference(hmat).filter_range(pl, pu)
+        want_m = hmat.difference(hpat).filter_range(ml, mu)
+        np.testing.assert_array_equal(p_words, want_p.words)
+        np.testing.assert_array_equal(m_words, want_m.words)
+
+
+def test_merge_device_union_sums():
+    """merge_device across files == counting the concatenation."""
+    from hast_tpu.ops import kmer_count as KC
+
+    k = 21
+    letters = np.frombuffer(b"ACGT", np.uint8)
+    r = np.random.default_rng(9)
+    seqs = letters[r.integers(0, 4, (64, 60))]
+    b1 = type("B", (), dict(seqs=seqs[:32],
+                            lengths=np.full(32, 60, np.int32)))()
+    b2 = type("B", (), dict(seqs=seqs[16:],
+                            lengths=np.full(48, 60, np.int32)))()
+    c1 = KC.count_batches([b1], k, finalize=False)
+    c2 = KC.count_batches([b2], k, finalize=False)
+    c1.merge_device(c2)
+    got = c1.finalize_device().fetch()
+    want = KC.count_batches([b1, b2], k)
+    np.testing.assert_array_equal(got.words, want.words)
+    np.testing.assert_array_equal(got.counts, want.counts)
 
 
 def test_substep_resume_skips_finished_count(tmp_path, monkeypatch):

@@ -119,6 +119,34 @@ def test_classify_segments_quot_format(tmp_path):
     assert float(weight) >= 50 / n
 
 
+def test_segment_stream_incremental_and_equal():
+    """classify_segments streams record chunks (constant memory like the
+    reference's 10000/3000 watermark pool): the stream must yield before
+    the input is exhausted AND produce byte-identical hit counts."""
+    import numpy as np
+
+    table = R._build_segment_table([str(GOLD / "paternal.mer"),
+                                    str(GOLD / "maternal.mer")])
+    rng = np.random.default_rng(3)
+    B = np.frombuffer(b"ACGT", np.uint8)
+    seqs = [B[rng.integers(0, 4, 9000)].tobytes() for _ in range(12)]
+
+    consumed = []
+
+    def gen():
+        for i, s in enumerate(seqs):
+            consumed.append(i)
+            yield (b"%d_1_1" % i, s)
+
+    stream = R._segment_hits_stream(table, gen(), target_pieces=4)
+    names0, hits0 = next(stream)
+    assert len(consumed) < len(seqs), "stream held the whole input"
+
+    chunks = [hits0] + [h for _, h in stream]
+    whole = R._segment_hits_batch(table, seqs)
+    np.testing.assert_array_equal(np.concatenate(chunks), whole)
+
+
 def test_mkoutput_symlinks_with_directory_prefix(tmp_path):
     """Symlink targets must be basenamed: with prefix 'sub/hap' a raw
     target 'sub/hap.father.fa' would resolve to 'sub/sub/...' and
