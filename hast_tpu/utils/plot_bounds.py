@@ -20,16 +20,19 @@ def _read_bounds(path: str) -> dict[str, int]:
     return out
 
 
-def plot_bounds(workdir: str = ".", out_png: str = "test.png",
-                histo_suffix: str = ".kmercount.histo") -> str | None:
-    """Render the two-panel bounds plot; returns the png path or None
-    if matplotlib is unavailable."""
-    try:
-        import matplotlib
-        matplotlib.use("agg")
-        import matplotlib.pyplot as plt
-    except Exception:
-        return None
+def render_bounds_figure(workdir: str = ".",
+                         histo_suffix: str = ".kmercount.histo"):
+    """Build the two-panel figure (not saved) — the testable core.
+
+    Panel/vline semantics follow draw_bounds.py:50-76 exactly: per
+    parent a depth/count line plot plus 4 vlines (MIN '--' red,
+    MAX '--' green, LOWER '-.' red, UPPER '-.' green) with
+    "<NAME> INDEX <value> " labels, xlim (1, 150), legend, and the
+    "<parent> kmer-depth count" title.
+    """
+    import matplotlib
+    matplotlib.use("agg")
+    import matplotlib.pyplot as plt
     import numpy as np
 
     fig = plt.figure()
@@ -53,7 +56,20 @@ def plot_bounds(workdir: str = ".", out_png: str = "test.png",
         plt.ylabel("count")
         plt.title(f"{parent} kmer-depth count")
     plt.subplots_adjust(hspace=0.4)
+    return fig
+
+
+def plot_bounds(workdir: str = ".", out_png: str = "test.png",
+                histo_suffix: str = ".kmercount.histo") -> str | None:
+    """Render the two-panel bounds plot; returns the png path or None
+    if matplotlib is unavailable."""
+    try:
+        fig = render_bounds_figure(workdir, histo_suffix)
+    except ImportError:
+        return None
+    import matplotlib.pyplot as plt
+
     path = os.path.join(workdir, out_png)
-    plt.savefig(path)
+    fig.savefig(path)
     plt.close(fig)
     return path

@@ -103,6 +103,54 @@ def test_device_counter_matches_host_counter():
     assert dev.total == host.total and dev.total > 0
 
 
+def test_plot_bounds_golden_semantics(tmp_path):
+    """The rendered figure matches draw_bounds.py:50-76 semantics on the
+    stage-00 golden histos: per parent 4 vlines at MIN/MAX/LOWER/UPPER
+    with the reference's label text/linestyles, xlim (1,150), title."""
+    matplotlib = pytest.importorskip("matplotlib")
+    del matplotlib
+    import shutil
+
+    from hast_tpu.utils.plot_bounds import render_bounds_figure, plot_bounds
+
+    for parent in ("maternal", "paternal"):
+        shutil.copy(GOLD / f"{parent}.histo",
+                    tmp_path / f"{parent}.kmercount.histo")
+        shutil.copy(GOLD / f"{parent}.bounds.txt",
+                    tmp_path / f"{parent}.bounds.txt")
+
+    fig = render_bounds_figure(str(tmp_path))
+    assert len(fig.axes) == 2
+    for ax, parent in zip(fig.axes, ("maternal", "paternal")):
+        bounds = dict(
+            line.strip().split("=")
+            for line in open(GOLD / f"{parent}.bounds.txt"))
+        want = [("MIN", "--", int(bounds["MIN_INDEX"])),
+                ("MAX", "--", int(bounds["MAX_INDEX"])),
+                ("LOWER", "-.", int(bounds["LOWER_INDEX"])),
+                ("UPPER", "-.", int(bounds["UPPER_INDEX"]))]
+        # line 0 is the histogram curve; 1..4 are the axvlines in order
+        lines = ax.get_lines()
+        assert len(lines) == 5, parent
+        histo = np.loadtxt(GOLD / f"{parent}.histo", dtype=int, ndmin=2)
+        np.testing.assert_array_equal(lines[0].get_xdata(), histo[:, 0])
+        np.testing.assert_array_equal(lines[0].get_ydata(), histo[:, 1])
+        for line, (name, ls, x) in zip(lines[1:], want):
+            assert set(np.atleast_1d(line.get_xdata()).tolist()) == {x}, \
+                (parent, name)
+            assert line.get_linestyle() == ls, (parent, name)
+            assert line.get_label() == f"{name} INDEX {x} ", (parent, name)
+        assert ax.get_xlim() == (1.0, 150.0)
+        assert ax.get_title() == f"{parent} kmer-depth count"
+        assert ax.get_legend() is not None
+    import matplotlib.pyplot as plt
+    plt.close(fig)
+
+    # the save wrapper produces a real png
+    out = plot_bounds(str(tmp_path))
+    assert out is not None and (tmp_path / "test.png").stat().st_size > 0
+
+
 def test_device_table_matches_host_table():
     """DeviceCountTable (histo/total/fetch) == the host CountTable on
     the same input, and device_marker_algebra == the host
