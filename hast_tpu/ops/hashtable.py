@@ -452,6 +452,11 @@ def remove_keys(table: KmerTable, hi, lo, payload_mask: int,
     shrink.  Returns [(hi, lo, cleared_bits)] for logging parity.
     A slot whose payload becomes 0 stays physically present (it can
     never be reported since its payload is 0).
+
+    ADAPTOR-SCALE ONLY: this walks keys in scalar python (~50 adaptor
+    k-mers per run).  It is the table's only mutation path by design —
+    for bulk erasure rebuild the table from filtered key arrays
+    instead; a per-key loop over millions of keys would take hours.
     """
     hi = np.asarray(hi, np.uint32).reshape(-1)
     lo = np.asarray(lo, np.uint32).reshape(-1)

@@ -240,6 +240,36 @@ def build_unshared_markers(
     return paths
 
 
+def _start_stage00_warmup(k: int):
+    """Absorb per-process attachment + first-execution stalls of the
+    stage-00 device programs on a background thread (same contract as
+    classify._start_device_warmup; remote attachments stall 100s+ on a
+    program's first output fetch, PERF.md §6-7).  Tiny shapes only —
+    real-shape compiles come from the persistent cache."""
+    import threading
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    def work():
+        try:
+            z8 = jnp.zeros((1, 8, 8), jnp.uint8)
+            lens = jnp.zeros((1, 8), jnp.int32)
+            res = KC.count_kernel_multi(z8, jnp.zeros((1, 8, 4), jnp.uint8),
+                                        lens, k, sort=False)
+            dc = KC.DeviceCounter(k)
+            dc.add_sorted_chunk(res[0], res[1])
+            t = dc.finalize_device()
+            np.asarray(t.histo(high=100))
+            KC.device_marker_algebra(t, t, 1, 2, 1, 2)
+        except Exception:
+            pass   # warmup is best-effort
+
+    t = threading.Thread(target=work, daemon=True, name="hast-warmup00")
+    t.start()
+    return t
+
+
 def _dump_words(words, k: int, path: str) -> int:
     s = KC.words_to_strings(words, k)
     with open(path, "wb") as f:
@@ -268,6 +298,7 @@ def _build_unshared_markers_device(
     j = lambda name: os.path.join(out_dir, name)
     print("extract unique mers (device-resident TPU count tables) ...",
           file=log)
+    _start_stage00_warmup(k)
     paths = {
         "paternal": j("paternal.unique.filter.mer"),
         "maternal": j("maternal.unique.filter.mer"),

@@ -1,12 +1,27 @@
-"""Pallas broadcast-probe correctness (interpret mode on CPU)."""
+"""Pallas broadcast-probe correctness (interpret mode on CPU).
+
+The kernel is an experimental reference implementation quarantined
+outside the shipped package (docs/experimental/probe_pallas.py,
+PERF.md §3) — this test loads it from the docs tree.
+"""
+
+import importlib.util
+import pathlib
 
 import numpy as np
 import jax.numpy as jnp
 
 from hast_tpu.ops import encode as E
 from hast_tpu.ops import hashtable as H
-from hast_tpu.ops.probe_pallas import (pallas_broadcast_probe,
-                                       table_key_arrays)
+
+_SPEC = importlib.util.spec_from_file_location(
+    "probe_pallas_experimental",
+    pathlib.Path(__file__).parent.parent / "docs" / "experimental"
+    / "probe_pallas.py")
+_MOD = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(_MOD)
+pallas_broadcast_probe = _MOD.pallas_broadcast_probe
+table_key_arrays = _MOD.table_key_arrays
 
 
 def test_pallas_probe_matches_hashtable():
