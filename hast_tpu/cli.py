@@ -51,6 +51,14 @@ def _add_build_markers(sub):
                         "in N passes (HBM-bounded counting for inputs "
                         "whose distinct set exceeds device memory); "
                         "default HAST_COUNT_PARTS or 1")
+    p.add_argument("--engine", choices=("auto", "device", "host"),
+                   default=None,
+                   help="device: count tables stay in HBM, set algebra "
+                        "on device, only final markers fetched (one "
+                        "all-or-nothing checkpoint); host: per-substep "
+                        ".counts.npz snapshots + finer resume; auto "
+                        "(default): device on an accelerator, host on "
+                        "CPU.  HAST_STAGE00_ENGINE overrides.")
     p.add_argument("--thread", type=int, default=None,
                    help="accepted for reference compatibility (unused)")
     p.add_argument("--memory", type=int, default=None,
@@ -73,7 +81,8 @@ def _add_build_markers(sub):
                     auto_bounds=a.auto_bounds,
                     p_lower=a.p_lower, p_upper=a.p_upper,
                     m_lower=a.m_lower, m_upper=a.m_upper,
-                    batch_size=a.batch_size, n_parts=a.count_parts)
+                    batch_size=a.batch_size, n_parts=a.count_parts,
+                    engine=a.engine)
     p.set_defaults(func=run)
 
 

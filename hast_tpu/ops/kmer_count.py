@@ -716,6 +716,52 @@ def estimate_boundaries(batches_sample, k: int, n_parts: int) -> np.ndarray:
     return bounds
 
 
+def sample_boundaries(batch_source, k: int, n_parts: int) -> np.ndarray:
+    """Quantile key-space split points from the source's first 8
+    batches; genomic input is locally correlated, so per-pass distinct
+    sizes are logged by the pass drivers — a badly skewed split is
+    visible, not silent."""
+    sample = []
+    for i, b in enumerate(batch_source()):
+        sample.append(b)
+        if i >= 7:
+            break
+    return estimate_boundaries(sample, k, n_parts)
+
+
+def count_pass_device(batch_source, k: int, lo_bound: np.uint64,
+                      hi_bound: np.uint64,
+                      super_batch: int = 8) -> DeviceCounter:
+    """One key-range pass: stream the whole input, fold only canonical
+    k-mers in [lo_bound, hi_bound) into an HBM-resident DeviceCounter.
+    """
+    lo_b = np.uint64(lo_bound)
+    hi_b = np.uint64(hi_bound)
+    args = (jnp.uint32(lo_b >> np.uint64(32)), jnp.uint32(lo_b),
+            jnp.uint32(hi_b >> np.uint64(32)), jnp.uint32(hi_b))
+    S = super_batch
+    dcounter = DeviceCounter(k)
+    buf: list = []
+
+    def flush():
+        nonlocal buf
+        if not buf:
+            return
+        packed, good, lengths, n_used = \
+            _assemble_ascii_super_batch(buf, S)
+        buf = []
+        res = count_kernel_multi_range(packed, good, lengths, k,
+                                       *args, sort=False)
+        dcounter.add_sorted_chunk(res[0][:n_used], res[1][:n_used])
+
+    for batch in batch_source():
+        buf.append(batch)
+        if len(buf) >= S:
+            flush()
+    flush()
+    return dcounter
+
+
 def count_batches_partitioned(batch_source, k: int, n_parts: int,
                               super_batch: int = 8,
                               boundaries: np.ndarray | None = None
@@ -735,41 +781,11 @@ def count_batches_partitioned(batch_source, k: int, n_parts: int,
     """
     import sys
     if boundaries is None:
-        # quantiles from the first 8 batches; genomic input is locally
-        # correlated, so log per-pass distinct sizes below — a badly
-        # skewed split is visible, not silent
-        sample = []
-        for i, b in enumerate(batch_source()):
-            sample.append(b)
-            if i >= 7:
-                break
-        boundaries = estimate_boundaries(sample, k, n_parts)
-    S = super_batch
+        boundaries = sample_boundaries(batch_source, k, n_parts)
     parts: list[CountTable] = []
     for p in range(n_parts):
-        lo_b = np.uint64(boundaries[p])
-        hi_b = np.uint64(boundaries[p + 1])
-        args = (jnp.uint32(lo_b >> np.uint64(32)), jnp.uint32(lo_b),
-                jnp.uint32(hi_b >> np.uint64(32)), jnp.uint32(hi_b))
-        dcounter = DeviceCounter(k)
-        buf: list = []
-
-        def flush():
-            nonlocal buf
-            if not buf:
-                return
-            packed, good, lengths, n_used = \
-                _assemble_ascii_super_batch(buf, S)
-            buf = []
-            res = count_kernel_multi_range(packed, good, lengths, k,
-                                           *args, sort=False)
-            dcounter.add_sorted_chunk(res[0][:n_used], res[1][:n_used])
-
-        for batch in batch_source():
-            buf.append(batch)
-            if len(buf) >= S:
-                flush()
-        flush()
+        dcounter = count_pass_device(batch_source, k, boundaries[p],
+                                     boundaries[p + 1], super_batch)
         t = dcounter.finalize()
         print(f"  count pass {p + 1}/{n_parts}: {t.n_distinct} distinct "
               f"k-mers resident", file=sys.stderr)

@@ -159,12 +159,13 @@ def build_unshared_markers(
         engine = os.environ.get("HAST_STAGE00_ENGINE", "auto")
     if engine == "auto":
         import jax
-        engine = "device" if jax.default_backend() != "cpu" \
-            and (n_parts or 1) == 1 else "host"
-    if engine == "device" and (n_parts or 1) == 1:
+        engine = "device" if jax.default_backend() != "cpu" else "host"
+    if engine == "device":
         return _build_unshared_markers_device(
             paternal, maternal, out_dir, k, auto_bounds,
-            p_lower, p_upper, m_lower, m_upper, batch_size, log)
+            p_lower, p_upper, m_lower, m_upper, batch_size, log,
+            n_parts=n_parts
+            or int(os.environ.get("HAST_COUNT_PARTS", "1")))
 
     from hast_tpu.utils.checkpoint import step
     from hast_tpu.utils.profiling import PhaseTimer
@@ -278,9 +279,15 @@ def _dump_words(words, k: int, path: str) -> int:
     return int(s.size)
 
 
+def _rows_from_hist(hist) -> list[tuple[int, int]]:
+    """histo_rows semantics over a raw (high+2,) bin array."""
+    return [(v, int(hist[v])) for v in range(1, len(hist)) if hist[v] > 0]
+
+
 def _build_unshared_markers_device(
         paternal, maternal, out_dir, k, auto_bounds,
-        p_lower, p_upper, m_lower, m_upper, batch_size, log
+        p_lower, p_upper, m_lower, m_upper, batch_size, log,
+        n_parts: int = 1,
 ) -> dict[str, str]:
     """Device-resident stage 00 (see build_unshared_markers docstring).
 
@@ -291,9 +298,19 @@ def _build_unshared_markers_device(
     sub-step through dump files on disk
     (build_unshared_kmers.sh:229-298) while this fetches KB of
     histogram plus the final marker rows only.
+
+    n_parts > 1 is the human-scale variant: the key space splits into
+    quantile ranges (shared by both parents, so per-range algebra is
+    complete) and runs as TWO sweeps of n_parts passes each — sweep A
+    accumulates the global histograms (bounds need all ranges), sweep
+    B recounts each range with both parents resident and fetches only
+    that range's markers.  2x the counting of the host path, but the
+    distinct sets never cross the device->host link (36 GB/parent at
+    human scale vs ~20 MB/s on remote attachments).
     """
     from hast_tpu.utils.checkpoint import step
     from hast_tpu.utils.profiling import PhaseTimer
+    import numpy as np
     timer = PhaseTimer(log=log)
     j = lambda name: os.path.join(out_dir, name)
     print("extract unique mers (device-resident TPU count tables) ...",
@@ -304,7 +321,7 @@ def _build_unshared_markers_device(
         "maternal": j("maternal.unique.filter.mer"),
     }
     with step("00.device_markers", out_dir, log=log) as todo:
-        if todo:
+        if todo and n_parts <= 1:
             with timer.phase("count_maternal"):
                 mat = count_files_device(maternal, k, batch_size)
             timer.add_items("count_maternal", mat.total)
@@ -334,6 +351,69 @@ def _build_unshared_markers_device(
                     pat, mat, p_lower, p_upper, m_lower, m_upper)
             n_p = _dump_words(p_words, k, paths["paternal"])
             n_m = _dump_words(m_words, k, paths["maternal"])
+        elif todo:
+            def mat_source():
+                for path in maternal:
+                    yield from FQ.sequence_batches(path, k, batch_size)
+
+            def pat_source():
+                for path in paternal:
+                    yield from FQ.sequence_batches(path, k, batch_size)
+
+            boundaries = KC.sample_boundaries(mat_source, k, n_parts)
+            high = 10000
+            hists = {"maternal": np.zeros(high + 2, np.int64),
+                     "paternal": np.zeros(high + 2, np.int64)}
+            stats = {"maternal": [0, 0], "paternal": [0, 0]}
+            with timer.phase("histo_sweep"):
+                for p in range(n_parts):
+                    for name, src in (("maternal", mat_source),
+                                      ("paternal", pat_source)):
+                        t = KC.count_pass_device(
+                            src, k, boundaries[p],
+                            boundaries[p + 1]).finalize_device()
+                        hists[name] += t.histo(high=high)
+                        stats[name][0] += t.n_distinct
+                        stats[name][1] += t.total
+                        del t
+            for name in ("maternal", "paternal"):
+                print(f"  {name}: {stats[name][0]} distinct / "
+                      f"{stats[name][1]} total {k}-mers", file=log)
+            with timer.phase("bounds"):
+                m_rows = _rows_from_hist(hists["maternal"])
+                p_rows = _rows_from_hist(hists["paternal"])
+                write_histo(m_rows, j("maternal.kmercount.histo"))
+                write_histo(p_rows, j("paternal.kmercount.histo"))
+                if auto_bounds:
+                    mb, pb = find_bounds(m_rows), find_bounds(p_rows)
+                    write_bounds(mb, j("maternal.bounds.txt"))
+                    write_bounds(pb, j("paternal.bounds.txt"))
+                    m_lower, m_upper = mb["LOWER_INDEX"], mb["UPPER_INDEX"]
+                    p_lower, p_upper = pb["LOWER_INDEX"], pb["UPPER_INDEX"]
+            print(f"  the real used kmer-count bounds of maternal is "
+                  f"[ {m_lower} , {m_upper} ] ", file=log)
+            print(f"  the real used kmer-count bounds of paternal is "
+                  f"[ {p_lower} , {p_upper} ] ", file=log)
+            p_parts, m_parts = [], []
+            with timer.phase("marker_sweep"):
+                for p in range(n_parts):
+                    dmat = KC.count_pass_device(
+                        mat_source, k, boundaries[p],
+                        boundaries[p + 1]).finalize_device()
+                    dpat = KC.count_pass_device(
+                        pat_source, k, boundaries[p],
+                        boundaries[p + 1]).finalize_device()
+                    pw, mw = KC.device_marker_algebra(
+                        dpat, dmat, p_lower, p_upper, m_lower, m_upper)
+                    print(f"  marker pass {p + 1}/{n_parts}: "
+                          f"{pw.size}+{mw.size} markers", file=log)
+                    p_parts.append(pw)
+                    m_parts.append(mw)
+                    del dmat, dpat
+            n_p = _dump_words(np.concatenate(p_parts), k,
+                              paths["paternal"])
+            n_m = _dump_words(np.concatenate(m_parts), k,
+                              paths["maternal"])
         else:
             with open(paths["paternal"], "rb") as fp:
                 n_p = sum(1 for _ in fp)

@@ -15,17 +15,23 @@ from hast_tpu.pipeline import markers as M
 GOLD = pathlib.Path(__file__).parent / "golden" / "stage00"
 
 
-@pytest.fixture(scope="module", params=["host", "device"])
+@pytest.fixture(scope="module",
+                params=["host", "device", "device-parts"])
 def built(tmp_path_factory, request):
-    """Both stage-00 engines must produce identical text artifacts:
+    """All stage-00 engines must produce identical text artifacts:
     "host" fetches + snapshots per sub-step, "device" keeps the count
-    tables in HBM and fetches only final markers."""
-    out = tmp_path_factory.mktemp(f"stage00_{request.param}")
+    tables in HBM and fetches only final markers, "device-parts" is
+    the human-scale 2-sweep key-range-partitioned device path."""
+    out = tmp_path_factory.mktemp(
+        f"stage00_{request.param.replace('-', '_')}")
+    engine = "device" if request.param == "device-parts" \
+        else request.param
+    n_parts = 3 if request.param == "device-parts" else None
     paths = M.build_unshared_markers(
         paternal=[str(GOLD / "paternal.reads.fa.gz")],
         maternal=[str(GOLD / "maternal.reads.fa.gz")],
         out_dir=str(out), auto_bounds=True, batch_size=16384,
-        engine=request.param)
+        engine=engine, n_parts=n_parts)
     return out, paths
 
 
