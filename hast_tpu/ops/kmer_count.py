@@ -798,7 +798,8 @@ def count_batches_partitioned(batch_source, k: int, n_parts: int,
 
 def count_file_native(path: str, k: int, batch_size: int = 1 << 14,
                       super_batch: int = 8,
-                      finalize: bool = True
+                      finalize: bool = True,
+                      key_range: tuple | None = None
                       ) -> "CountTable | DeviceCounter | None":
     """Count one fasta/fastq file via the native counting reader.
 
@@ -809,6 +810,9 @@ def count_file_native(path: str, k: int, batch_size: int = 1 << 14,
     the fast path can't take the file (no library, reads beyond the
     length cap, or multi-line fasta) — callers fall back to the python
     reader, discarding nothing because the fold is abandoned whole.
+
+    key_range=(lo, hi) uint64 restricts counting to canonical keys in
+    [lo, hi) — one pass of the partitioned (HBM-bounded) counter.
     """
     from hast_tpu.io import fastq as FQ
     try:
@@ -824,6 +828,11 @@ def count_file_native(path: str, k: int, batch_size: int = 1 << 14,
     S = super_batch
     dcounter = DeviceCounter(k)
     buf: list = []
+    range_args = None
+    if key_range is not None:
+        lo_b, hi_b = np.uint64(key_range[0]), np.uint64(key_range[1])
+        range_args = (jnp.uint32(lo_b >> np.uint64(32)), jnp.uint32(lo_b),
+                      jnp.uint32(hi_b >> np.uint64(32)), jnp.uint32(hi_b))
 
     def flush():
         nonlocal buf
@@ -840,8 +849,14 @@ def count_file_native(path: str, k: int, batch_size: int = 1 << 14,
             lengths[s] = b.lengths
         n_used = len(buf)
         buf = []
-        res = count_kernel_multi(jnp.asarray(packed), jnp.asarray(good),
-                                 jnp.asarray(lengths), k, sort=False)
+        if range_args is not None:
+            res = count_kernel_multi_range(
+                jnp.asarray(packed), jnp.asarray(good),
+                jnp.asarray(lengths), k, *range_args, sort=False)
+        else:
+            res = count_kernel_multi(jnp.asarray(packed),
+                                     jnp.asarray(good),
+                                     jnp.asarray(lengths), k, sort=False)
         dcounter.add_sorted_chunk(res[0][:n_used], res[1][:n_used])
 
     # only reader errors (truncation / multi-line fasta) may trigger

@@ -356,9 +356,20 @@ def _build_unshared_markers_device(
                 for path in maternal:
                     yield from FQ.sequence_batches(path, k, batch_size)
 
-            def pat_source():
-                for path in paternal:
-                    yield from FQ.sequence_batches(path, k, batch_size)
+            def count_range(paths, lo_b, hi_b) -> KC.DeviceCountTable:
+                """One key-range pass over a parent's files: native
+                reader when it can take the file, python fallback."""
+                total = KC.DeviceCounter(k)
+                for path in paths:
+                    dc = KC.count_file_native(path, k, batch_size,
+                                              finalize=False,
+                                              key_range=(lo_b, hi_b))
+                    if dc is None:
+                        dc = KC.count_pass_device(
+                            lambda p=path: FQ.sequence_batches(
+                                p, k, batch_size), k, lo_b, hi_b)
+                    total.merge_device(dc)
+                return total.finalize_device()
 
             boundaries = KC.sample_boundaries(mat_source, k, n_parts)
             high = 10000
@@ -367,11 +378,10 @@ def _build_unshared_markers_device(
             stats = {"maternal": [0, 0], "paternal": [0, 0]}
             with timer.phase("histo_sweep"):
                 for p in range(n_parts):
-                    for name, src in (("maternal", mat_source),
-                                      ("paternal", pat_source)):
-                        t = KC.count_pass_device(
-                            src, k, boundaries[p],
-                            boundaries[p + 1]).finalize_device()
+                    for name, files in (("maternal", maternal),
+                                        ("paternal", paternal)):
+                        t = count_range(files, boundaries[p],
+                                        boundaries[p + 1])
                         hists[name] += t.histo(high=high)
                         stats[name][0] += t.n_distinct
                         stats[name][1] += t.total
@@ -397,12 +407,10 @@ def _build_unshared_markers_device(
             p_parts, m_parts = [], []
             with timer.phase("marker_sweep"):
                 for p in range(n_parts):
-                    dmat = KC.count_pass_device(
-                        mat_source, k, boundaries[p],
-                        boundaries[p + 1]).finalize_device()
-                    dpat = KC.count_pass_device(
-                        pat_source, k, boundaries[p],
-                        boundaries[p + 1]).finalize_device()
+                    dmat = count_range(maternal, boundaries[p],
+                                       boundaries[p + 1])
+                    dpat = count_range(paternal, boundaries[p],
+                                       boundaries[p + 1])
                     pw, mw = KC.device_marker_algebra(
                         dpat, dmat, p_lower, p_upper, m_lower, m_upper)
                     print(f"  marker pass {p + 1}/{n_parts}: "
