@@ -80,6 +80,34 @@ def get_lib():
         lib.hastio_bad_fasta.argtypes = [ctypes.c_void_p]
     except AttributeError:
         pass  # older libhastio.so without counting mode
+    try:
+        lib.hastio_place2.restype = ctypes.c_longlong
+        lib.hastio_place2.argtypes = [
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            ctypes.c_longlong, ctypes.c_longlong, ctypes.c_int,
+            ctypes.c_ulonglong,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")]
+    except AttributeError:
+        pass  # older libhastio.so without the placement pass
+    try:
+        lib.hastio_sort_dedup_or.restype = ctypes.c_longlong
+        lib.hastio_sort_dedup_or.argtypes = [
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            ctypes.c_longlong]
+        lib.hastio_build_quot.restype = ctypes.c_longlong
+        lib.hastio_build_quot.argtypes = [
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
+            ctypes.c_ulonglong,
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")]
+    except AttributeError:
+        pass  # older libhastio.so without the table builder
     lib.hastio_quarter.restype = ctypes.c_int
     lib.hastio_quarter.argtypes = [ctypes.c_char_p] * 6 + [
         ctypes.POINTER(ctypes.c_long)]
@@ -124,6 +152,60 @@ def argsort_fixed(keys_s: np.ndarray) -> np.ndarray | None:
     if got != keys_s.shape[0]:
         return None
     return order
+
+
+def place2(b1: np.ndarray, b2: np.ndarray, n_buckets: int,
+           bucket: int, seed: int):
+    """Native greedy 2-choice placement + cuckoo walk.
+
+    Returns (row int64, slot int64) on success, the string "failed"
+    when some keys could not be placed (caller doubles the table, same
+    contract as the numpy path returning None), or None when the
+    library/symbol is unavailable (caller falls back to numpy).
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "hastio_place2"):
+        return None
+    n = b1.shape[0]
+    row = np.empty(n, np.int64)
+    slot = np.empty(n, np.int8)
+    failed = lib.hastio_place2(
+        np.ascontiguousarray(b1, np.uint32),
+        np.ascontiguousarray(b2, np.uint32),
+        n, n_buckets, bucket, seed, row, slot)
+    if failed < 0:
+        return None
+    if failed > 0:
+        return "failed"
+    return row, slot.astype(np.int64)
+
+
+def sort_dedup_or(hi: np.ndarray, lo: np.ndarray, pay: np.ndarray):
+    """In-place key sort + duplicate-payload OR; returns the distinct
+    count m (arrays' first m entries are the result) or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "hastio_sort_dedup_or"):
+        return None
+    m = lib.hastio_sort_dedup_or(hi, lo, pay, hi.shape[0])
+    return None if m < 0 else int(m)
+
+
+def build_quot(hi: np.ndarray, lo: np.ndarray, pay: np.ndarray,
+               k: int, bbits: int, seed: int):
+    """Fused native quot-table build; returns the filled
+    (n_buckets, 4) uint32 data, "failed" when placement needs a bigger
+    table, or None when the library/symbol is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "hastio_build_quot"):
+        return None
+    data = np.zeros(((1 << bbits), 4), np.uint32)
+    rc = lib.hastio_build_quot(hi, lo, pay, hi.shape[0], k, bbits,
+                               seed, data.reshape(-1))
+    if rc == 0:
+        return data
+    if rc > 0:
+        return "failed"
+    return None
 
 
 def decide_format_phased(bcs_s: np.ndarray, order: np.ndarray,

@@ -196,6 +196,29 @@ def _quot_alt(b1, q, bbits: int, xp=np):
 # ---------------------------------------------------------------------------
 
 
+def _assign(b1, b2, n_buckets: int, bucket: int):
+    """Placement dispatch: the native single-pass greedy + cuckoo walk
+    (hastio_place2 — O(n), no argsorts) when libhastio is present,
+    else the vectorized numpy rounds.  Both are deterministic given
+    (keys, n_buckets) and satisfy the same contract: (row, slot) or
+    None when the caller must double the table.  The numpy fallback
+    dominated build time at 2e8 keys (two argsorts of the key array
+    per attempt); the native pass is pure sequential memory walking.
+    """
+    try:
+        from hast_tpu.io import native as N
+        res = N.place2(np.asarray(b1, np.uint32),
+                       np.asarray(b2, np.uint32),
+                       n_buckets, bucket, seed=n_buckets)
+    except Exception:
+        res = None
+    if res == "failed":
+        return None
+    if res is not None:
+        return res
+    return _assign_2choice(b1, b2, n_buckets, bucket)
+
+
 def _assign_2choice(b1, b2, n_buckets: int, bucket: int):
     """Place each key in bucket b1[i] or b2[i]; returns (row, slot)
     int64 arrays or None (caller doubles the table and retries).
@@ -296,16 +319,35 @@ def build_table(hi, lo, payload, k: int, load: float = 0.35,
     lo = np.asarray(lo, np.uint32)
     payload = np.asarray(payload, np.uint32)
     if hi.size:
-        # dedupe, OR payloads of duplicates
-        order = np.lexsort((lo, hi))
-        hi, lo, payload = hi[order], lo[order], payload[order]
-        new = np.empty(hi.size, bool)
-        new[0] = True
-        new[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
-        group = np.cumsum(new) - 1
-        pay = np.zeros(int(group[-1]) + 1, np.uint32)
-        np.bitwise_or.at(pay, group, payload)
-        hi, lo, payload = hi[new], lo[new], pay
+        # dedupe, OR payloads of duplicates.  Native single-call path
+        # (threaded sort of (key, pay) structs + linear OR-compact)
+        # replaces the numpy lexsort+permute+reduceat chain, which was
+        # ~40% of human-scale build time.
+        m = None
+        try:
+            from hast_tpu.io import native as N
+            if N.get_lib() is not None and \
+                    hasattr(N.get_lib(), "hastio_sort_dedup_or"):
+                # copies: the native sort compacts in place and the
+                # caller's arrays must not be clobbered
+                hi = hi.copy()
+                lo = lo.copy()
+                payload = payload.copy()
+                m = N.sort_dedup_or(hi, lo, payload)
+        except Exception:
+            pass
+        if m is not None:
+            hi, lo, payload = hi[:m], lo[:m], payload[:m]
+        else:
+            order = np.lexsort((lo, hi))
+            hi, lo, payload = hi[order], lo[order], payload[order]
+            new = np.empty(hi.size, bool)
+            new[0] = True
+            new[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+            # contiguous groups after the sort: reduceat ORs each run
+            # (ufunc.at is a per-element python-speed loop at 2e8 keys)
+            pay = np.bitwise_or.reduceat(payload, np.flatnonzero(new))
+            hi, lo, payload = hi[new], lo[new], pay
     n = hi.size
 
     if fmt == "auto":
@@ -319,20 +361,35 @@ def build_table(hi, lo, payload, k: int, load: float = 0.35,
             if 2 * k - bbits > 29:
                 n_buckets *= 2
                 continue
-            b1, q = _quot_bucket_q(hi, lo, k, bbits)
-            b2 = _quot_alt(b1, q, bbits)
-            asg = _assign_2choice(b1, b2, n_buckets, QUOT_BUCKET)
-            if asg is not None:
-                break
-            n_buckets *= 2
-        row, slot = asg
-        data = np.zeros((n_buckets, QUOT_BUCKET), np.uint32)
-        which = (row != np.asarray(b1, np.int64)).astype(np.uint32)
-        data[row, slot] = (q & _QMASK) | (which << _WHICH_SHIFT) \
-            | (payload << PAYLOAD_SHIFT)
-        return KmerTable(data=data, n_buckets=n_buckets, max_probe=2,
-                         k=k, n_keys=n, set_sizes=tuple(set_sizes),
-                         fmt="quot")
+            # fused native build: feistel/quotient + placement + fill
+            # in one call (the numpy feistel alone is ~30 array passes)
+            data = None
+            try:
+                from hast_tpu.io import native as N
+                data = N.build_quot(np.ascontiguousarray(hi),
+                                    np.ascontiguousarray(lo),
+                                    np.ascontiguousarray(payload),
+                                    k, bbits, seed=n_buckets)
+            except Exception:
+                data = None
+            if data is None:
+                b1, q = _quot_bucket_q(hi, lo, k, bbits)
+                b2 = _quot_alt(b1, q, bbits)
+                asg = _assign(b1, b2, n_buckets, QUOT_BUCKET)
+                if asg is None:
+                    n_buckets *= 2
+                    continue
+                row, slot = asg
+                data = np.zeros((n_buckets, QUOT_BUCKET), np.uint32)
+                which = (row != np.asarray(b1, np.int64)).astype(np.uint32)
+                data[row, slot] = (q & _QMASK) | (which << _WHICH_SHIFT) \
+                    | (payload << PAYLOAD_SHIFT)
+            elif isinstance(data, str):   # "failed": placement full
+                n_buckets *= 2
+                continue
+            return KmerTable(data=data, n_buckets=n_buckets, max_probe=2,
+                             k=k, n_keys=n, set_sizes=tuple(set_sizes),
+                             fmt="quot")
 
     n_buckets = _next_pow2(max(1, int(np.ceil(n / (BUCKET * load)))))
     hi_packed = hi | (payload << PAYLOAD_SHIFT)
@@ -340,7 +397,7 @@ def build_table(hi, lo, payload, k: int, load: float = 0.35,
         mask = np.uint32(n_buckets - 1)
         b1 = kmer_hash(hi, lo) & mask
         b2 = kmer_hash2(hi, lo) & mask
-        asg = _assign_2choice(b1, b2, n_buckets, BUCKET)
+        asg = _assign(b1, b2, n_buckets, BUCKET)
         if asg is not None:
             break
         n_buckets *= 2

@@ -1115,3 +1115,272 @@ long hastio_format_phased(const char* bcs, long n, int w,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// 2-choice bucket placement for the probe-table build
+// (ops/hashtable._assign_2choice's hot loop in native code: the numpy
+// formulation needs two full argsorts of the key array per attempt and
+// dominated table build at 2e8 keys — the greedy fill is a single
+// O(n) pass with an occupancy byte per bucket, and the cuckoo
+// random-walk tail touches only the straggler keys.)
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Place each key i into bucket b1[i] or b2[i] (capacity `bucket`
+// slots).  Writes row_out[i] (int64 bucket) and slot_out[i] (int8).
+// Returns 0 on success, or the number of keys that could not be
+// placed after `max_kicks` evictions each (caller doubles the table
+// and retries, matching the numpy path's contract).  Deterministic:
+// the eviction slot choice comes from an LCG seeded with `seed`.
+long long hastio_place2(const uint32_t* b1, const uint32_t* b2,
+                        long long n, long long n_buckets, int bucket,
+                        unsigned long long seed,
+                        long long* row_out, signed char* slot_out) {
+  if (bucket <= 0 || bucket > 8) return -1;
+  std::vector<unsigned char> occupancy((size_t)n_buckets, 0);
+  // occupant key index per slot, for evictions
+  std::vector<long long> occ((size_t)n_buckets * bucket, -1);
+  std::vector<long long> pending;
+  for (long long i = 0; i < n; ++i) {
+    uint32_t b = b1[i];
+    unsigned char& c = occupancy[b];
+    if (c < bucket) {
+      occ[(size_t)b * bucket + c] = i;
+      row_out[i] = b;
+      slot_out[i] = (signed char)c;
+      ++c;
+    } else {
+      pending.push_back(i);
+    }
+  }
+  size_t w = 0;
+  for (size_t r = 0; r < pending.size(); ++r) {
+    long long i = pending[r];
+    uint32_t b = b2[i];
+    unsigned char& c = occupancy[b];
+    if (c < bucket) {
+      occ[(size_t)b * bucket + c] = i;
+      row_out[i] = b;
+      slot_out[i] = (signed char)c;
+      ++c;
+    } else {
+      pending[w++] = i;
+    }
+  }
+  pending.resize(w);
+  // cuckoo random walk for the stragglers
+  unsigned long long rng = seed * 6364136223846793005ULL + 1442695040888963407ULL;
+  const int max_kicks = 4096;
+  long long failed = 0;
+  for (long long i : pending) {
+    long long cur = i;
+    uint32_t tgt = b2[cur];  // greedy rounds tried b1 then b2
+    bool placed = false;
+    for (int kick = 0; kick < max_kicks; ++kick) {
+      unsigned char& c = occupancy[tgt];
+      if (c < bucket) {
+        occ[(size_t)tgt * bucket + c] = cur;
+        row_out[cur] = tgt;
+        slot_out[cur] = (signed char)c;
+        ++c;
+        placed = true;
+        break;
+      }
+      rng = rng * 6364136223846793005ULL + 1442695040888963407ULL;
+      int s = (int)((rng >> 33) % bucket);
+      long long victim = occ[(size_t)tgt * bucket + s];
+      occ[(size_t)tgt * bucket + s] = cur;
+      row_out[cur] = tgt;
+      slot_out[cur] = (signed char)s;
+      cur = victim;
+      tgt = (b1[cur] == (uint32_t)row_out[cur]) ? b2[cur] : b1[cur];
+    }
+    if (!placed) {
+      row_out[cur] = -1;
+      slot_out[cur] = -1;
+      ++failed;
+    }
+  }
+  return failed;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Full quot-format table build: fused feistel/quotient + greedy 2-choice
+// placement + slot fill.  The numpy formulation of the 4-round Feistel
+// permutation alone makes ~30 full-array passes (168 s at 2e8 keys on a
+// 2-core host); here it is one fused pass per key, threaded.
+// Mirrors ops/hashtable.{_feistel_halves,_quot_bucket_q,_quot_alt}
+// bit-for-bit so native- and numpy-built tables probe identically.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline uint32_t fmix32(uint32_t h) {
+  h ^= h >> 16; h *= 0x85EBCA6BU;
+  h ^= h >> 13; h *= 0xC2B2AE35U;
+  h ^= h >> 16;
+  return h;
+}
+
+inline void quot_key(uint32_t hi, uint32_t lo, int k, int bbits,
+                     uint32_t* b1_out, uint32_t* q_out) {
+  const uint32_t kmask = (k == 32) ? 0xFFFFFFFFU : ((1U << k) - 1U);
+  uint32_t A = (((uint64_t)hi << (32 - k)) | (lo >> k)) & kmask;
+  uint32_t B = lo & kmask;
+  static const uint32_t FC[4] = {0x9E3779B9U, 0x85EBCA6BU,
+                                 0xC2B2AE35U, 0x27D4EB2FU};
+  for (int i = 0; i < 4; ++i) {
+    uint32_t f = (i % 2 == 0)
+        ? (fmix32(B * 0x85EBCA6BU + FC[i]) & kmask)
+        : (fmix32(A * 0x85EBCA6BU + FC[i]) & kmask);
+    if (i % 2 == 0) A ^= f; else B ^= f;
+  }
+  uint32_t b1, q;
+  const uint32_t bmask = (bbits >= 32) ? 0xFFFFFFFFU : ((1U << bbits) - 1U);
+  if (bbits <= k) {
+    b1 = B & bmask;
+    q = (bbits == k) ? A : ((B >> bbits) | (A << (k - bbits)));
+  } else {
+    b1 = (B | (A << k)) & bmask;
+    q = A >> (bbits - k);
+  }
+  *b1_out = b1;
+  *q_out = q;
+}
+
+inline uint32_t quot_alt(uint32_t b1, uint32_t q, int bbits) {
+  const uint32_t bmask = (bbits >= 32) ? 0xFFFFFFFFU : ((1U << bbits) - 1U);
+  uint32_t g = (fmix32(q * 0x9E3779B9U) | 1U) & bmask;
+  return b1 ^ g;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Sort (hi, lo) pairs ascending carrying pay, OR pays of duplicate
+// keys, compact in place.  Returns the number of distinct keys, or -1.
+long long hastio_sort_dedup_or(uint32_t* hi, uint32_t* lo, uint32_t* pay,
+                               long long n) {
+  if (n < 0) return -1;
+  if (n == 0) return 0;
+  struct Key { uint64_t w; uint32_t p; };
+  std::vector<Key> ks((size_t)n);
+  int nt = (int)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  if (nt > 16) nt = 16;
+  if (n < 65536) nt = 1;
+  std::vector<long long> bounds(nt + 1);
+  for (int t = 0; t <= nt; ++t) bounds[t] = n * t / nt;
+  auto cmp = [](const Key& a, const Key& b) { return a.w < b.w; };
+  {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; ++t)
+      ths.emplace_back([&, t] {
+        for (long long i = bounds[t]; i < bounds[t + 1]; ++i)
+          ks[i] = Key{((uint64_t)hi[i] << 32) | lo[i], pay[i]};
+        std::sort(ks.begin() + bounds[t], ks.begin() + bounds[t + 1], cmp);
+      });
+    for (auto& th : ths) th.join();
+  }
+  std::vector<Key> tmp((size_t)n);
+  std::vector<long long> runs(bounds.begin(), bounds.end());
+  Key* src = ks.data();
+  Key* dst = tmp.data();
+  while (runs.size() > 2) {
+    std::vector<long long> next;
+    std::vector<std::thread> ths;
+    next.push_back(runs[0]);
+    size_t r = 0;
+    for (; r + 2 < runs.size(); r += 2) {
+      long long a = runs[r], b = runs[r + 1], c = runs[r + 2];
+      ths.emplace_back([src, dst, a, b, c, &cmp] {
+        std::merge(src + a, src + b, src + b, src + c, dst + a, cmp);
+      });
+      next.push_back(c);
+    }
+    if (r + 1 < runs.size()) {  // leftover single run: copy through
+      long long a = runs[r], b = runs[r + 1];
+      memcpy(dst + a, src + a, (size_t)(b - a) * sizeof(Key));
+      if (next.back() != b) next.push_back(b);
+    }
+    for (auto& th : ths) th.join();
+    std::swap(src, dst);
+    runs = next;
+  }
+  // linear dedupe with payload OR
+  long long m = 0;
+  for (long long i = 0; i < n; ++i) {
+    if (m && src[m - 1].w == src[i].w) {
+      src[m - 1].p |= src[i].p;
+    } else {
+      src[m++] = src[i];
+    }
+  }
+  for (long long i = 0; i < m; ++i) {
+    hi[i] = (uint32_t)(src[i].w >> 32);
+    lo[i] = (uint32_t)src[i].w;
+    pay[i] = src[i].p;
+  }
+  return m;
+}
+
+// Build the quot-format table in one call: per-key fused
+// feistel/quotient/alt (threaded), greedy 2-choice placement + cuckoo
+// walk (sequential, deterministic), threaded slot fill.  data_out must
+// be (1<<bbits)*4 uint32 zeros.  Returns 0 ok, >0 unplaced keys
+// (caller doubles the table), <0 error.
+long long hastio_build_quot(const uint32_t* hi, const uint32_t* lo,
+                            const uint32_t* pay, long long n, int k,
+                            int bbits, unsigned long long seed,
+                            uint32_t* data_out) {
+  if (k < 1 || k > 31 || bbits < 1 || bbits > 31 || n < 0) return -1;
+  if (2 * k - bbits > 29) return -2;
+  const long long n_buckets = 1LL << bbits;
+  const int bucket = 4;
+  std::vector<uint32_t> b1v((size_t)n), b2v((size_t)n), qv((size_t)n);
+  int nt = (int)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  if (nt > 16) nt = 16;
+  {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; ++t) {
+      long long a = n * t / nt, b = n * (t + 1) / nt;
+      ths.emplace_back([&, a, b] {
+        for (long long i = a; i < b; ++i) {
+          uint32_t bb, qq;
+          quot_key(hi[i], lo[i], k, bbits, &bb, &qq);
+          b1v[i] = bb;
+          qv[i] = qq;
+          b2v[i] = quot_alt(bb, qq, bbits);
+        }
+      });
+    }
+    for (auto& th : ths) th.join();
+  }
+  std::vector<long long> row((size_t)n);
+  std::vector<signed char> slot((size_t)n);
+  long long failed = hastio_place2(b1v.data(), b2v.data(), n, n_buckets,
+                                   bucket, seed, row.data(), slot.data());
+  if (failed != 0) return failed;
+  {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; ++t) {
+      long long a = n * t / nt, b = n * (t + 1) / nt;
+      ths.emplace_back([&, a, b] {
+        for (long long i = a; i < b; ++i) {
+          uint32_t which = (row[i] != (long long)b1v[i]) ? 1U : 0U;
+          data_out[row[i] * bucket + slot[i]] =
+              (qv[i] & ((1U << 29) - 1U)) | (which << 29) | (pay[i] << 30);
+        }
+      });
+    }
+    for (auto& th : ths) th.join();
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -176,3 +176,79 @@ def test_quot_bbits_edge():
             0, 1 << 32, n).astype(np.uint32)]) if k > 16 else lo
         np.testing.assert_array_equal(H.probe_np(t, q_hi, q_lo),
                                       H.probe_np(full, q_hi, q_lo))
+
+
+def test_native_build_matches_numpy_build(monkeypatch):
+    """The fused native quot build (hastio_build_quot + sort_dedup_or)
+    must probe identically to the pure-numpy path: same payloads for
+    every stored key (duplicate payloads OR-merged), 0 for absent."""
+    import numpy as np
+    import pytest
+
+    from hast_tpu.io import native as N
+    from hast_tpu.ops import encode as E
+    from hast_tpu.ops import hashtable as H
+
+    if N.get_lib() is None or not hasattr(N.get_lib(),
+                                          "hastio_build_quot"):
+        pytest.skip("libhastio without the native table builder")
+
+    rng = np.random.default_rng(13)
+    n, k = 30000, 21
+    seqs = rng.integers(0, 4, size=(n, k), dtype=np.int32)
+    hi, lo = E.canonical_kmers_np(seqs, k)
+    hi, lo = hi[:, 0].copy(), lo[:, 0].copy()
+    # plant duplicates with different payloads (must OR-merge)
+    hi[n // 2:n // 2 + 100] = hi[:100]
+    lo[n // 2:n // 2 + 100] = lo[:100]
+    pay = rng.integers(1, 4, n).astype(np.uint32)
+
+    t_native = H.build_table(hi, lo, pay, k, load=0.7)
+    assert t_native.fmt == "quot"
+    monkeypatch.setattr(N, "sort_dedup_or", lambda *a: None)
+    monkeypatch.setattr(N, "build_quot", lambda *a, **kw: None)
+    monkeypatch.setattr(N, "place2", lambda *a, **kw: None)
+    t_numpy = H.build_table(hi, lo, pay, k, load=0.7)
+    assert t_numpy.fmt == "quot"
+    assert t_native.n_keys == t_numpy.n_keys
+    assert t_native.n_buckets == t_numpy.n_buckets
+
+    q2 = rng.integers(0, 4, (5000, k), dtype=np.int32)
+    q2hi, q2lo = E.canonical_kmers_np(q2, k)
+    q_hi = np.concatenate([hi, q2hi[:, 0]])
+    q_lo = np.concatenate([lo, q2lo[:, 0]])
+    np.testing.assert_array_equal(H.probe_np(t_native, q_hi, q_lo),
+                                  H.probe_np(t_numpy, q_hi, q_lo))
+    assert (H.probe_np(t_native, hi, lo) > 0).all()
+
+
+def test_native_sort_dedup_multithreaded_path():
+    """n > 65536 engages the threaded sort + pairwise merge (a merge
+    bookkeeping bug here once looped forever); verify against numpy."""
+    import numpy as np
+    import pytest
+
+    from hast_tpu.io import native as N
+
+    if N.get_lib() is None or not hasattr(N.get_lib(),
+                                          "hastio_sort_dedup_or"):
+        pytest.skip("libhastio without sort_dedup_or")
+    rng = np.random.default_rng(17)
+    n = 300_000
+    hi = rng.integers(0, 1 << 10, n, dtype=np.uint64).astype(np.uint32)
+    lo = rng.integers(0, 1 << 12, n, dtype=np.uint64).astype(np.uint32)
+    pay = rng.integers(1, 4, n).astype(np.uint32)
+    words = (hi.astype(np.uint64) << np.uint64(32)) | lo
+    h2, l2, p2 = hi.copy(), lo.copy(), pay.copy()
+    m = N.sort_dedup_or(h2, l2, p2)
+    assert m is not None
+    got_w = (h2[:m].astype(np.uint64) << np.uint64(32)) | l2[:m]
+    order = np.argsort(words, kind="stable")
+    sw = words[order]
+    new = np.empty(n, bool)
+    new[0] = True
+    new[1:] = sw[1:] != sw[:-1]
+    want_w = sw[new]
+    want_p = np.bitwise_or.reduceat(pay[order], np.flatnonzero(new))
+    np.testing.assert_array_equal(got_w, want_w)
+    np.testing.assert_array_equal(p2[:m], want_p)
