@@ -491,6 +491,75 @@ def _add_plot_bounds(sub):
     p.set_defaults(func=run)
 
 
+def _add_warmup(sub):
+    p = sub.add_parser(
+        "warmup",
+        help="precompile the hot device programs into the persistent "
+             "jit cache so production runs start hot (the reference "
+             "binaries' ship-warm analog)")
+    p.add_argument("--hap0", help="real marker file (compiles at the "
+                                  "deployment table's exact shape)")
+    p.add_argument("--hap1")
+    p.add_argument("--markers", type=int, default=2_000_000,
+                   help="synthetic marker count per hap when no real "
+                        "files are given (sizes the probe table)")
+    p.add_argument("--read-len", type=int, default=100,
+                   help="typical read length (sets the device stride)")
+    p.add_argument("--reads", type=int, default=1 << 17,
+                   help="synthetic reads to stream (covers the "
+                        "steady-state + tail batch shapes)")
+    p.add_argument("--mer", type=int, default=21)
+
+    def run(a):
+        import tempfile
+        import time
+
+        import jax
+        import numpy as np
+
+        from hast_tpu.ops import encode as E
+        from hast_tpu.ops import kmer_count as KC
+        from hast_tpu.pipeline import classify as C
+
+        t0 = time.perf_counter()
+        k = a.mer
+        rng = np.random.default_rng(0)
+        if a.hap0 and a.hap1:
+            table = C.load_marker_table(a.hap0, a.hap1)
+        else:
+            seqs = rng.integers(0, 4, size=(2 * a.markers, k),
+                                dtype=np.int32)
+            hi, lo = E.canonical_kmers_np(seqs, k)
+            pay = np.repeat(np.array([1, 2], np.uint32), a.markers)
+            from hast_tpu.ops import hashtable as H
+            table = H.build_table(hi[:, 0], lo[:, 0], pay, k,
+                                  set_sizes=(a.markers, a.markers))
+        C.erase_adaptors(table)
+        table.device_put()
+        letters = np.frombuffer(b"ACGT", np.uint8)
+        with tempfile.TemporaryDirectory() as td:
+            fq = os.path.join(td, "warm.fq")
+            n, L = a.reads, a.read_len
+            arr = letters[rng.integers(0, 4, (n, L))]
+            with open(fq, "wb", buffering=1 << 22) as f:
+                qual = b"F" * L
+                for i in range(n):
+                    f.write(b"@w%d#%d_%d_%d/1\n%s\n+\n%s\n" % (
+                        i, 1 + i % 97, 2, 3, arr[i].tobytes(), qual))
+            # the real streaming classify: compiles tally_step /
+            # vote kernels / _pack_acc at production shapes into the
+            # persistent cache
+            C.classify_fastqs(table, [fq])
+            # stage-00 kernels at the counting batch shape
+            from hast_tpu.pipeline.markers import count_files_device
+            t = count_files_device([fq], k)
+            t.histo()
+            KC.device_marker_algebra(t, t, 1, 2, 1, 2)
+        print(f"warm: {time.perf_counter() - t0:.1f}s "
+              f"(cache: {jax.config.jax_compilation_cache_dir})")
+    p.set_defaults(func=run)
+
+
 def _add_filter_barcodes(sub):
     p = sub.add_parser("filter-fastq-by-barcodes",
                        help="keep records whose barcode is listed "
@@ -536,7 +605,8 @@ def main(argv=None):
                 _add_merge_results, _add_prepare_10x, _add_assemble,
                 _add_mkoutput, _add_classify_segments, _add_run,
                 _add_mark_library, _add_classify_hic, _add_vcfqc,
-                _add_heatalign, _add_plot_bounds, _add_filter_barcodes):
+                _add_heatalign, _add_plot_bounds, _add_filter_barcodes,
+                _add_warmup):
         add(sub)
     args = parser.parse_args(argv)
     args.func(args)
