@@ -59,6 +59,10 @@ def _add_build_markers(sub):
                         ".counts.npz snapshots + finer resume; auto "
                         "(default): device on an accelerator, host on "
                         "CPU.  HAST_STAGE00_ENGINE overrides.")
+    p.add_argument("--mesh", default=None, metavar="DPx1|auto",
+                   help="run stage 00 with count tables hash-range-"
+                        "sharded across a device mesh (per-chip "
+                        "residency = distinct/DP; auto = all devices)")
     p.add_argument("--thread", type=int, default=None,
                    help="accepted for reference compatibility (unused)")
     p.add_argument("--memory", type=int, default=None,
@@ -75,14 +79,32 @@ def _add_build_markers(sub):
             sys.exit("ERROR : arguments invalid ... exit!!! ")
         with step("00_markers", a.out_dir) as todo:
             if todo:
-                M.build_unshared_markers(
-                    _split_paths(a.paternal), _split_paths(a.maternal),
-                    a.out_dir, k=a.mer,
-                    auto_bounds=a.auto_bounds,
-                    p_lower=a.p_lower, p_upper=a.p_upper,
-                    m_lower=a.m_lower, m_upper=a.m_upper,
-                    batch_size=a.batch_size, n_parts=a.count_parts,
-                    engine=a.engine)
+                if a.mesh:
+                    import jax
+
+                    from hast_tpu.parallel.distributed import \
+                        build_unshared_markers_mesh
+                    from hast_tpu.parallel.mesh import make_mesh
+                    dp = len(jax.devices()) if a.mesh == "auto" \
+                        else int(a.mesh.lower().split("x")[0])
+                    build_unshared_markers_mesh(
+                        make_mesh(dp, tp=1),
+                        _split_paths(a.paternal),
+                        _split_paths(a.maternal),
+                        a.out_dir, k=a.mer, auto_bounds=a.auto_bounds,
+                        p_lower=a.p_lower, p_upper=a.p_upper,
+                        m_lower=a.m_lower, m_upper=a.m_upper,
+                        batch_size=a.batch_size)
+                else:
+                    M.build_unshared_markers(
+                        _split_paths(a.paternal),
+                        _split_paths(a.maternal),
+                        a.out_dir, k=a.mer,
+                        auto_bounds=a.auto_bounds,
+                        p_lower=a.p_lower, p_upper=a.p_upper,
+                        m_lower=a.m_lower, m_upper=a.m_upper,
+                        batch_size=a.batch_size, n_parts=a.count_parts,
+                        engine=a.engine)
     p.set_defaults(func=run)
 
 

@@ -190,6 +190,100 @@ def allgather_count_table(table: KC.CountTable) -> KC.CountTable:
     return counter.finalize()
 
 
+def count_files_mesh_device(mesh, paths: Sequence[str], k: int,
+                            batch_size: int = FQ.DEFAULT_BATCH
+                            ) -> PM.MeshCountTable:
+    """Mesh-resident stage-00 counting: hash-range shards stay in each
+    device's HBM (resident run = distinct/dp per chip); nothing but
+    all_to_all routing crosses ICI and nothing crosses to the host.
+
+    Capacity overflow (a batch whose k-mers land too unevenly for the
+    fixed all_to_all slots, 2x slack) is checked lazily at finalize —
+    chunks fold as they stream, so there is no per-batch device fetch;
+    a genuine overflow raises with a retry hint instead of silently
+    dropping k-mers."""
+    import jax.numpy as jnp
+    dp = mesh.shape["dp"]
+    ctr = PM.MeshDeviceCounter(mesh, k)
+    dropped_refs = []
+    for path in paths:
+        for batch in FQ.sequence_batches(path, k, batch_size):
+            seqs, lengths = batch.seqs, batch.lengths
+            b = seqs.shape[0]
+            if b % dp:
+                pad = dp - b % dp
+                seqs = np.concatenate(
+                    [seqs, np.zeros((pad, seqs.shape[1]), np.uint8)])
+                lengths = np.concatenate(
+                    [lengths, np.zeros(pad, np.int32)])
+            rhi, rlo, dropped = PM.sharded_count_chunk(
+                mesh, jnp.asarray(seqs), jnp.asarray(lengths), k)
+            ctr.add_chunk(rhi, rlo)
+            dropped_refs.append(dropped)
+    table = ctr.finalize_mesh()
+    n_dropped = sum(int(np.asarray(d).sum()) for d in dropped_refs)
+    if n_dropped:
+        raise RuntimeError(
+            f"{n_dropped} k-mers dropped by all_to_all capacity; rerun "
+            f"with a smaller batch_size (more per-destination slack)")
+    return table
+
+
+def build_unshared_markers_mesh(
+        mesh, paternal: Sequence[str], maternal: Sequence[str],
+        out_dir: str = ".", k: int = 21, auto_bounds: bool = False,
+        p_lower: int = 9, p_upper: int = 33,
+        m_lower: int = 9, m_upper: int = 33,
+        batch_size: int = FQ.DEFAULT_BATCH, log=None) -> dict[str, str]:
+    """Multi-chip device-resident stage 00 (SURVEY §2.8's meryl 64-way
+    sharded DB, on ICI): both parents' count tables live hash-range-
+    sharded across the mesh, the global histogram psums over dp, the
+    unique∩filter algebra runs per shard with no communication (both
+    parents share the routing), and only final markers reach the host.
+    Produces the same histo/bounds/.mer artifacts as the single-chip
+    engines, byte-for-byte."""
+    import sys
+
+    from hast_tpu.pipeline.markers import (_dump_words, _rows_from_hist,
+                                           find_bounds, write_bounds,
+                                           write_histo)
+    log = log or sys.stderr
+    j = lambda name: os.path.join(out_dir, name)
+    print("extract unique mers (mesh-sharded device count tables) ...",
+          file=log)
+    mat = count_files_mesh_device(mesh, maternal, k, batch_size)
+    pat = count_files_mesh_device(mesh, paternal, k, batch_size)
+    print(f"  maternal: {mat.n_distinct} distinct / {mat.total} total "
+          f"{k}-mers", file=log)
+    print(f"  paternal: {pat.n_distinct} distinct / {pat.total} total "
+          f"{k}-mers", file=log)
+    m_rows = _rows_from_hist(mat.histo())
+    p_rows = _rows_from_hist(pat.histo())
+    write_histo(m_rows, j("maternal.kmercount.histo"))
+    write_histo(p_rows, j("paternal.kmercount.histo"))
+    if auto_bounds:
+        mb, pb = find_bounds(m_rows), find_bounds(p_rows)
+        write_bounds(mb, j("maternal.bounds.txt"))
+        write_bounds(pb, j("paternal.bounds.txt"))
+        m_lower, m_upper = mb["LOWER_INDEX"], mb["UPPER_INDEX"]
+        p_lower, p_upper = pb["LOWER_INDEX"], pb["UPPER_INDEX"]
+    print(f"  the real used kmer-count bounds of maternal is "
+          f"[ {m_lower} , {m_upper} ] ", file=log)
+    print(f"  the real used kmer-count bounds of paternal is "
+          f"[ {p_lower} , {p_upper} ] ", file=log)
+    p_words, m_words = PM.mesh_marker_algebra(
+        pat, mat, p_lower, p_upper, m_lower, m_upper)
+    paths = {
+        "paternal": j("paternal.unique.filter.mer"),
+        "maternal": j("maternal.unique.filter.mer"),
+    }
+    n_p = _dump_words(p_words, k, paths["paternal"])
+    n_m = _dump_words(m_words, k, paths["maternal"])
+    print(f"final paternal unique kmer is : {n_p}", file=log)
+    print(f"final maternal unique kmer is : {n_m}", file=log)
+    return paths
+
+
 def local_mesh(tp: int = 1):
     """dp×tp mesh over THIS process's addressable devices."""
     return PM.make_mesh(devices=jax.local_devices(), tp=tp)

@@ -198,6 +198,252 @@ def sharded_vote_step(mesh: Mesh, table_sharded: jax.Array,
     )(table_sharded, packed, lengths)
 
 
+# ---------------------------------------------------------------------------
+# mesh-sharded device-resident count tables (multi-chip stage 00)
+# ---------------------------------------------------------------------------
+#
+# The single-chip DeviceCounter bounds HBM via key-range passes; on a
+# mesh the same tables shard by HASH RANGE over dp instead (each
+# device's resident run is distinct/dp — a human parent's ~36 GB
+# distinct set fits a 16-chip slice with no extra input passes).  The
+# fold/histogram/marker-algebra kernels are the single-chip ones run
+# per-shard under shard_map: hash ranges are disjoint and identical
+# for both parents (same routing), so the set algebra needs NO
+# cross-device communication; only the global histogram psums over dp.
+
+
+@jax.jit
+def _ones_like_sharded(h):
+    return (h ^ h).astype(jnp.int32) + 1
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def _mesh_fold(mesh: Mesh, hi, lo, counts):
+    """Per-shard sort+RLE fold: (dp, n) sharded arrays -> same shapes
+    RLE'd per shard + (dp,) distinct counts."""
+    from hast_tpu.ops.kmer_count import _merge_rle_kernel
+
+    def f(h, l, c):
+        rh, rl, rc, nu = _merge_rle_kernel(h[0], l[0], c[0])
+        return rh[None], rl[None], rc[None], nu[None]
+
+    return jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(P("dp", None), P("dp", None), P("dp", None)),
+        out_specs=(P("dp", None), P("dp", None), P("dp", None), P("dp")),
+    )(hi, lo, counts)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "high"))
+def _mesh_histo(mesh: Mesh, counts, high: int):
+    """Global count histogram: per-shard bincount + psum -> replicated
+    (high+2,) vector (pads' bin 0 zeroed like the single-chip kernel)."""
+
+    def f(c):
+        h = jnp.bincount(jnp.clip(c[0], 0, high + 1), length=high + 2)
+        return jax.lax.psum(h.at[0].set(0), "dp")
+
+    return jax.shard_map(f, mesh=mesh, in_specs=(P("dp", None),),
+                         out_specs=P())(counts)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def _mesh_total(mesh: Mesh, counts):
+    """Exact global total via the two-limb segment sums, psummed."""
+    from hast_tpu.ops.kmer_count import _total_kernel
+
+    def f(c):
+        lo16, hi16 = _total_kernel(c[0])
+        return (jax.lax.psum(lo16, "dp")[None],
+                jax.lax.psum(hi16, "dp")[None])
+
+    lo16, hi16 = jax.shard_map(f, mesh=mesh, in_specs=(P("dp", None),),
+                               out_specs=(P(None, "dp"), P(None, "dp")))(
+        counts)
+    return lo16, hi16
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def _mesh_unique_filter(mesh: Mesh, a_hi, a_lo, a_c, b_hi, b_lo, b_c,
+                        a_lower, a_upper, b_lower, b_upper):
+    """Per-shard marker algebra + compaction for BOTH parents.
+
+    Shards hold identical hash ranges for a and b, so uniqueness is
+    decidable locally.  Returns per-shard compacted (hi, lo) arrays +
+    (dp,) kept-counts for each parent.
+    """
+    from hast_tpu.ops.kmer_count import (_compact_kernel,
+                                         _unique_filter_kernel)
+
+    def f(ah, al, ac, bh, bl, bc):
+        keep_a, keep_b = _unique_filter_kernel(
+            ah[0], al[0], ac[0], bh[0], bl[0], bc[0],
+            a_lower, a_upper, b_lower, b_upper)
+        pah, pal, pan = _compact_kernel(ah[0], al[0], keep_a)
+        pbh, pbl, pbn = _compact_kernel(bh[0], bl[0], keep_b)
+        return (pah[None], pal[None], pan[None],
+                pbh[None], pbl[None], pbn[None])
+
+    specs = (P("dp", None),) * 3
+    return jax.shard_map(
+        f, mesh=mesh, in_specs=specs + specs,
+        out_specs=(P("dp", None), P("dp", None), P("dp"),
+                   P("dp", None), P("dp", None), P("dp")),
+    )(a_hi, a_lo, a_c, b_hi, b_lo, b_c)
+
+
+class MeshCountTable:
+    """Hash-range-sharded (dp, n) count table resident across a mesh."""
+
+    def __init__(self, mesh, hi, lo, counts, n_valid, k: int):
+        self.mesh = mesh
+        self.hi = hi
+        self.lo = lo
+        self.counts = counts
+        self.n_valid = np.asarray(n_valid)   # (dp,) distinct per shard
+        self.k = k
+
+    @property
+    def n_distinct(self) -> int:
+        return int(self.n_valid.sum())
+
+    @property
+    def total(self) -> int:
+        lo16, hi16 = _mesh_total(self.mesh, self.counts)
+        return int(np.asarray(lo16)[0].astype(np.int64).sum()
+                   + (np.asarray(hi16)[0].astype(np.int64).sum() << 14))
+
+    def histo(self, low: int = 1, high: int = 10000) -> np.ndarray:
+        return np.asarray(_mesh_histo(self.mesh, self.counts,
+                                      high)).astype(np.int64)
+
+
+class MeshDeviceCounter:
+    """Streaming mesh counter: feed sharded_count_chunk outputs, fold
+    per shard in HBM, finalize to a :class:`MeshCountTable`.
+
+    The multi-chip twin of ops.kmer_count.DeviceCounter — same deferred
+    n_unique settling, same pow2 shrink, but state arrays carry a
+    leading dp dim sharded over the mesh and every op is shard-local.
+    """
+
+    def __init__(self, mesh, k: int, fold_above: int = 48_000_000):
+        self.mesh = mesh
+        self.k = k
+        self.dp = mesh.shape["dp"]
+        self._chunks: list = []
+        self._chunk_elems = 0          # per-shard elements
+        self._run = None
+        self._pending_n = None
+        self._run_valid = None         # (dp,) numpy
+        self._fold_above = fold_above
+
+    def add_chunk(self, hi, lo) -> None:
+        """hi/lo: (dp, m) sharded on dim 0, per-shard sorted + pads."""
+        self._chunks.append((hi, lo, None))
+        self._chunk_elems += hi.shape[1]
+        if self._chunk_elems >= self._fold_above:
+            self._fold()
+
+    def _fold(self, final: bool = False) -> None:
+        self._settle()
+        if not self._chunks:
+            return
+        his = [h for h, _, _ in self._chunks]
+        los = [l for _, l, _ in self._chunks]
+        # ones built FROM the sharded array so the sharding propagates
+        # (a plain jnp.ones would materialize replicated on every chip)
+        counts = [c if c is not None else _ones_like_sharded(h)
+                  for h, _, c in self._chunks]
+        if self._run is not None:
+            his.append(self._run[0])
+            los.append(self._run[1])
+            counts.append(self._run[2])
+        self._chunks = []
+        self._chunk_elems = 0
+        hi = jnp.concatenate(his, axis=1) if len(his) > 1 else his[0]
+        lo = jnp.concatenate(los, axis=1) if len(los) > 1 else los[0]
+        cn = jnp.concatenate(counts, axis=1) if len(counts) > 1 \
+            else counts[0]
+        rhi, rlo, rc, n_unique = _mesh_fold(self.mesh, hi, lo, cn)
+        self._pending_n = n_unique
+        self._run = (rhi, rlo, rc)
+        if final:
+            self._settle()
+
+    def _settle(self) -> None:
+        if self._pending_n is None:
+            return
+        n = np.asarray(self._pending_n)
+        self._pending_n = None
+        rhi, rlo, rc = self._run
+        n_pad = 1 << max(16, (max(1, int(n.max())) - 1).bit_length())
+        if n_pad < rhi.shape[1]:
+            rhi, rlo, rc = (rhi[:, :n_pad], rlo[:, :n_pad],
+                            rc[:, :n_pad])
+        self._run = (rhi, rlo, rc)
+        self._run_valid = n
+
+    def finalize_mesh(self) -> MeshCountTable:
+        self._fold(final=True)
+        if self._run is None:
+            z = jnp.zeros((self.dp, 0), jnp.uint32)
+            return MeshCountTable(self.mesh, z, z,
+                                  jnp.zeros((self.dp, 0), jnp.int32),
+                                  np.zeros(self.dp, np.int64), self.k)
+        rhi, rlo, rc = self._run
+        return MeshCountTable(self.mesh, rhi, rlo, rc,
+                              self._run_valid, self.k)
+
+
+def mesh_marker_algebra(pat: MeshCountTable, mat: MeshCountTable,
+                        p_lower: int, p_upper: int,
+                        m_lower: int, m_upper: int):
+    """unique ∩ count-range per parent, per shard; fetches ONLY the
+    final marker rows and returns two sorted uint64 host arrays.
+    Shards are hash ranges (not key ranges), so the concatenated
+    markers get one small host sort for the canonical ascending dump
+    order."""
+    # pad both parents' shards to a common width for the paired kernel
+    pads = max(pat.hi.shape[1], mat.hi.shape[1])
+
+    def padded(t):
+        m = t.hi.shape[1]
+        if m == pads:
+            return t.hi, t.lo, t.counts
+        ext = pads - m
+        sent = jnp.full((t.hi.shape[0], ext), np.uint32(0xFFFFFFFF),
+                        jnp.uint32)
+        return (jnp.concatenate([t.hi, sent], axis=1),
+                jnp.concatenate([t.lo, sent], axis=1),
+                jnp.concatenate(
+                    [t.counts, jnp.zeros((t.hi.shape[0], ext),
+                                         jnp.int32)], axis=1))
+
+    ah, al, ac = padded(pat)
+    bh, bl, bc = padded(mat)
+    pah, pal, pan, pbh, pbl, pbn = _mesh_unique_filter(
+        pat.mesh, ah, al, ac, bh, bl, bc,
+        jnp.int32(p_lower), jnp.int32(p_upper),
+        jnp.int32(m_lower), jnp.int32(m_upper))
+    pan = np.asarray(pan)
+    pbn = np.asarray(pbn)
+
+    def fetch(h, l, ns):
+        words = []
+        for d in range(ns.size):
+            n = int(ns[d])
+            if n:
+                hh = np.asarray(h[d, :n]).astype(np.uint64)
+                ll = np.asarray(l[d, :n]).astype(np.uint64)
+                words.append((hh << np.uint64(32)) | ll)
+        if not words:
+            return np.zeros(0, np.uint64)
+        return np.sort(np.concatenate(words))
+
+    return fetch(pah, pal, pan), fetch(pbh, pbl, pbn)
+
+
 @functools.partial(jax.jit, static_argnames=("mesh", "k"))
 def sharded_count_chunk(mesh: Mesh, seqs_u8: jax.Array, lengths: jax.Array,
                         k: int):

@@ -137,6 +137,34 @@ def test_merge_matches_single_run():
     assert merged.getvalue() == golden
 
 
+def test_build_markers_mesh_matches_host(tmp_path):
+    """Mesh-resident stage 00 (hash-range-sharded tables, per-shard
+    algebra, psum histograms) must produce byte-identical artifacts to
+    the host engine."""
+    from hast_tpu.parallel import distributed as D
+    from hast_tpu.pipeline import markers as M
+
+    gold = pathlib.Path(__file__).parent / "golden" / "stage00"
+    pat = [str(gold / "paternal.reads.fa.gz")]
+    mat = [str(gold / "maternal.reads.fa.gz")]
+    mesh_dir = tmp_path / "mesh"
+    host_dir = tmp_path / "host"
+    mesh_dir.mkdir()
+    host_dir.mkdir()
+    mesh = PM.make_mesh(8, tp=1)
+    D.build_unshared_markers_mesh(mesh, pat, mat, out_dir=str(mesh_dir),
+                                  auto_bounds=True, batch_size=4096)
+    M.build_unshared_markers(paternal=pat, maternal=mat,
+                             out_dir=str(host_dir), auto_bounds=True,
+                             batch_size=16384, engine="host")
+    for name in ("maternal.kmercount.histo", "paternal.kmercount.histo",
+                 "maternal.bounds.txt", "paternal.bounds.txt",
+                 "maternal.unique.filter.mer",
+                 "paternal.unique.filter.mer"):
+        assert (mesh_dir / name).read_bytes() == \
+            (host_dir / name).read_bytes(), name
+
+
 def test_count_files_sharded_matches_host(tmp_path):
     from hast_tpu.parallel import distributed as D
     from hast_tpu.pipeline import markers as M
