@@ -1141,34 +1141,69 @@ long long hastio_place2(const uint32_t* b1, const uint32_t* b2,
   std::vector<unsigned char> occupancy((size_t)n_buckets, 0);
   // occupant key index per slot, for evictions
   std::vector<long long> occ((size_t)n_buckets * bucket, -1);
+  // Greedy rounds are parallelized by BUCKET RANGE: thread t owns
+  // buckets [t*nb/nt, (t+1)*nb/nt) and scans the whole key stream,
+  // touching only its range — state is disjoint (no locks) and each
+  // bucket fills in global key order, so the outcome is bit-identical
+  // to the sequential pass.
+  int nt = (int)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  if (nt > 16) nt = 16;
+  if (n < (1 << 22)) nt = 1;
+  std::vector<std::vector<long long>> pend1((size_t)nt);
+  {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; ++t) {
+      long long blo = n_buckets * t / nt, bhi = n_buckets * (t + 1) / nt;
+      ths.emplace_back([&, t, blo, bhi] {
+        for (long long i = 0; i < n; ++i) {
+          uint32_t b = b1[i];
+          if ((long long)b < blo || (long long)b >= bhi) continue;
+          unsigned char& c = occupancy[b];
+          if (c < bucket) {
+            occ[(size_t)b * bucket + c] = i;
+            row_out[i] = b;
+            slot_out[i] = (signed char)c;
+            ++c;
+          } else {
+            pend1[t].push_back(i);
+          }
+        }
+      });
+    }
+    for (auto& th : ths) th.join();
+  }
+  // restore global key order for round 2 (each pend1[t] is already
+  // ascending; merge by concatenate + sort of the small overflow set)
   std::vector<long long> pending;
-  for (long long i = 0; i < n; ++i) {
-    uint32_t b = b1[i];
-    unsigned char& c = occupancy[b];
-    if (c < bucket) {
-      occ[(size_t)b * bucket + c] = i;
-      row_out[i] = b;
-      slot_out[i] = (signed char)c;
-      ++c;
-    } else {
-      pending.push_back(i);
+  for (auto& p : pend1) pending.insert(pending.end(), p.begin(), p.end());
+  std::sort(pending.begin(), pending.end());
+  std::vector<std::vector<long long>> pend2((size_t)nt);
+  {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; ++t) {
+      long long blo = n_buckets * t / nt, bhi = n_buckets * (t + 1) / nt;
+      ths.emplace_back([&, t, blo, bhi] {
+        for (long long i : pending) {
+          uint32_t b = b2[i];
+          if ((long long)b < blo || (long long)b >= bhi) continue;
+          unsigned char& c = occupancy[b];
+          if (c < bucket) {
+            occ[(size_t)b * bucket + c] = i;
+            row_out[i] = b;
+            slot_out[i] = (signed char)c;
+            ++c;
+          } else {
+            pend2[t].push_back(i);
+          }
+        }
+      });
     }
+    for (auto& th : ths) th.join();
   }
-  size_t w = 0;
-  for (size_t r = 0; r < pending.size(); ++r) {
-    long long i = pending[r];
-    uint32_t b = b2[i];
-    unsigned char& c = occupancy[b];
-    if (c < bucket) {
-      occ[(size_t)b * bucket + c] = i;
-      row_out[i] = b;
-      slot_out[i] = (signed char)c;
-      ++c;
-    } else {
-      pending[w++] = i;
-    }
-  }
-  pending.resize(w);
+  pending.clear();
+  for (auto& p : pend2) pending.insert(pending.end(), p.begin(), p.end());
+  std::sort(pending.begin(), pending.end());
   // cuckoo random walk for the stragglers
   unsigned long long rng = seed * 6364136223846793005ULL + 1442695040888963407ULL;
   const int max_kicks = 4096;
