@@ -295,3 +295,18 @@ def test_native_count_multiline_fasta_fallback(tmp_path):
     want = M.count_files([str(single)], 21, batch_size=64)
     np.testing.assert_array_equal(got.words, want.words)
     np.testing.assert_array_equal(got.counts, want.counts)
+
+
+def test_estimate_boundaries_empty_sample_monotonic():
+    """ADVICE r03: the empty-sample fallback computed p * 2^62 in
+    uint64, wrapping for p >= 4 and silently dropping k-mers in
+    wrapped ranges.  Bounds must be strictly ascending for any
+    n_parts."""
+    from hast_tpu.ops import kmer_count as KC
+
+    for n_parts in (2, 4, 8, 16):
+        bounds = KC.estimate_boundaries([], 21, n_parts)
+        assert bounds.size == n_parts + 1
+        assert bounds[0] == 0
+        assert bounds[-1] == np.uint64(0xFFFFFFFFFFFFFFFF)
+        assert (bounds[1:] > bounds[:-1]).all(), n_parts
