@@ -211,7 +211,8 @@ def _measure(done):
         ours_s = min(samples)
     if best_ever is None or ours_s < best_ever:
         best_path.write_text(json.dumps({"seconds": ours_s}))
-    med_s = sorted(samples)[len(samples) // 2]
+    import statistics
+    med_s = statistics.median(samples)
     log(f"ours (best): {ours_s:.2f}s, median: {med_s:.2f}s over "
         f"{len(samples)} samples -> {N_READS / ours_s:,.0f} reads/s")
 
@@ -259,9 +260,7 @@ READ_LEN = 100
 
 def ensure_parent_inputs():
     """Two parents' shotgun fasta (shared backbone + het SNPs), sized so
-    each parent is ~1M reads at default settings.  Vectorized writer."""
-    import numpy as np
-
+    each parent is ~1M reads at default settings."""
     CACHE.mkdir(parents=True, exist_ok=True)
     pat_fa = CACHE / "pat_parent.fa"
     mat_fa = CACHE / "mat_parent.fa"
@@ -270,31 +269,12 @@ def ensure_parent_inputs():
         return str(pat_fa), str(mat_fa)
     log(f"generating 2 parents: {GENOME_LEN} bp genome, "
         f"{COVERAGE}x coverage ...")
-    from hast_tpu.utils.synthetic import make_trio_genomes
+    from hast_tpu.utils.synthetic import (make_parent_reads_vectorized,
+                                          make_trio_genomes)
     pat_g, mat_g = make_trio_genomes(77, GENOME_LEN, het_rate=0.001)
-    comp = np.zeros(256, np.uint8)
-    for a, b in zip(b"ACGT", b"TGCA"):
-        comp[a] = b
-    B = np.frombuffer(b"ACGT", np.uint8)
     for seed, g_bytes, path in ((1, pat_g, pat_fa), (2, mat_g, mat_fa)):
-        rng = np.random.default_rng(seed)
-        g = np.frombuffer(g_bytes, np.uint8)
-        n = int(GENOME_LEN * COVERAGE / READ_LEN)
-        pos = rng.integers(0, GENOME_LEN - READ_LEN + 1, n)
-        reads = g[pos[:, None] + np.arange(READ_LEN)]
-        err = rng.random((n, READ_LEN)) < ERR_RATE
-        reads = np.where(err, B[rng.integers(0, 4, (n, READ_LEN))], reads)
-        flip = rng.integers(0, 2, n).astype(bool)
-        reads[flip] = comp[reads[flip][:, ::-1]]
-        with open(path, "wb", buffering=1 << 22) as f:
-            chunk = 1 << 18
-            head = np.frombuffer(b">r\n", np.uint8)  # anonymous reads
-            for s in range(0, n, chunk):
-                e = min(n, s + chunk)
-                block = np.concatenate(
-                    [np.broadcast_to(head, (e - s, 3)), reads[s:e],
-                     np.full((e - s, 1), ord("\n"), np.uint8)], axis=1)
-                f.write(block.tobytes())
+        make_parent_reads_vectorized(seed, g_bytes, str(path), COVERAGE,
+                                     READ_LEN, ERR_RATE)
     stamp.touch()
     return str(pat_fa), str(mat_fa)
 

@@ -205,7 +205,8 @@ def count_files_mesh_device(mesh, paths: Sequence[str], k: int,
     import jax.numpy as jnp
     dp = mesh.shape["dp"]
     ctr = PM.MeshDeviceCounter(mesh, k)
-    dropped_refs = []
+    total_dropped = None   # folded on device: no per-batch sync, no
+    #                        per-batch array pinned until finalize
     for path in paths:
         for batch in FQ.sequence_batches(path, k, batch_size):
             seqs, lengths = batch.seqs, batch.lengths
@@ -219,9 +220,12 @@ def count_files_mesh_device(mesh, paths: Sequence[str], k: int,
             rhi, rlo, dropped = PM.sharded_count_chunk(
                 mesh, jnp.asarray(seqs), jnp.asarray(lengths), k)
             ctr.add_chunk(rhi, rlo)
-            dropped_refs.append(dropped)
+            d = jnp.sum(dropped)
+            total_dropped = d if total_dropped is None \
+                else total_dropped + d
     table = ctr.finalize_mesh()
-    n_dropped = sum(int(np.asarray(d).sum()) for d in dropped_refs)
+    n_dropped = int(np.asarray(total_dropped)) \
+        if total_dropped is not None else 0
     if n_dropped:
         raise RuntimeError(
             f"{n_dropped} k-mers dropped by all_to_all capacity; rerun "

@@ -249,17 +249,20 @@ def _mesh_histo(mesh: Mesh, counts, high: int):
 
 @functools.partial(jax.jit, static_argnames=("mesh",))
 def _mesh_total(mesh: Mesh, counts):
-    """Exact global total via the two-limb segment sums, psummed."""
+    """Exact global total via the two-limb segment sums, psummed.
+
+    Outputs are REPLICATED (out_specs=P()): a dp-sharded out_spec
+    would tile the already-psummed vectors dp times and the host sum
+    would overcount by a factor of dp.
+    """
     from hast_tpu.ops.kmer_count import _total_kernel
 
     def f(c):
         lo16, hi16 = _total_kernel(c[0])
-        return (jax.lax.psum(lo16, "dp")[None],
-                jax.lax.psum(hi16, "dp")[None])
+        return (jax.lax.psum(lo16, "dp"), jax.lax.psum(hi16, "dp"))
 
     lo16, hi16 = jax.shard_map(f, mesh=mesh, in_specs=(P("dp", None),),
-                               out_specs=(P(None, "dp"), P(None, "dp")))(
-        counts)
+                               out_specs=(P(), P()))(counts)
     return lo16, hi16
 
 
@@ -310,8 +313,8 @@ class MeshCountTable:
     @property
     def total(self) -> int:
         lo16, hi16 = _mesh_total(self.mesh, self.counts)
-        return int(np.asarray(lo16)[0].astype(np.int64).sum()
-                   + (np.asarray(hi16)[0].astype(np.int64).sum() << 14))
+        return int(np.asarray(lo16).astype(np.int64).sum()
+                   + (np.asarray(hi16).astype(np.int64).sum() << 14))
 
     def histo(self, low: int = 1, high: int = 10000) -> np.ndarray:
         return np.asarray(_mesh_histo(self.mesh, self.counts,

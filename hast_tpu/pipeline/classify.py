@@ -279,16 +279,28 @@ def _pack_acc(acc: jax.Array):
     return lo, n_over
 
 
-def _fetch_acc(acc: jax.Array) -> np.ndarray:
-    """Fetch the device tally as int64, via the packed fast path."""
+def _fetch_acc_start(acc: jax.Array):
+    """Kick off the packed tally d2h; returns a handle for _finish.
+    Split so callers can do host work (e.g. the barcode name sort)
+    while the copy drains."""
     lo, n_over = _pack_acc(acc)
     try:
         lo.copy_to_host_async()
     except Exception:
         pass
+    return acc, lo, n_over
+
+
+def _fetch_acc_finish(state) -> np.ndarray:
+    acc, lo, n_over = state
     if int(np.asarray(n_over)):
         return np.asarray(acc).astype(np.int64)
     return np.asarray(lo).astype(np.int64)
+
+
+def _fetch_acc(acc: jax.Array) -> np.ndarray:
+    """Fetch the device tally as int64, via the packed fast path."""
+    return _fetch_acc_finish(_fetch_acc_start(acc))
 
 
 @functools.partial(jax.jit, static_argnames=("k", "max_probe", "fmt"))
@@ -596,21 +608,14 @@ def _classify_fastqs_device_tally(table, paths, batch_size, tally,
         # the host WHILE the copy drains — the lexicographic order
         # depends only on names, so write_phased_barcodes gets it for
         # free (order_hint) instead of paying it after the fetch
-        lo16, n_over = _pack_acc(acc)
-        try:
-            lo16.copy_to_host_async()
-        except Exception:
-            pass
+        fetch = _fetch_acc_start(acc)
         names = reader.barcodes_array()
         order = None
         try:
             order = N.argsort_fixed(names)
         except Exception:
             pass
-        if int(np.asarray(n_over)):
-            local = np.asarray(acc).astype(np.int64)
-        else:
-            local = np.asarray(lo16).astype(np.int64)
+        local = _fetch_acc_finish(fetch)
         reader.close()
         tally.merge_names(names, local[:names.size])
         if order is not None:

@@ -163,3 +163,41 @@ def make_parent_reads(seed: int, genome: bytes, path: str, coverage: float,
             if rng.integers(0, 2):
                 s = s.translate(comp)[::-1]
             f.write(b">r%d\n%s\n" % (i, s))
+
+
+def make_parent_reads_vectorized(seed: int, genome: bytes, path: str,
+                                 coverage: float, read_len: int = 100,
+                                 err_rate: float = 0.0):
+    """Vectorized twin of :func:`make_parent_reads` for bench-scale
+    inputs (1M+ reads in seconds; the per-read loop above is kept
+    as-is because golden fixtures pin its exact RNG stream).
+
+    Conventions differ deliberately: anonymous ">r" headers, per-base
+    i.i.d. substitution errors, and an independent reverse-complement
+    coin per read — equivalent shotgun statistics, not byte-equal
+    output.
+    """
+    rng = np.random.default_rng(seed)
+    g = np.frombuffer(genome, np.uint8)
+    n = int(len(genome) * coverage / read_len)
+    comp = np.zeros(256, np.uint8)
+    for a, b in zip(b"ACGT", b"TGCA"):
+        comp[a] = b
+    pos = rng.integers(0, len(genome) - read_len + 1, n)
+    reads = g[pos[:, None] + np.arange(read_len)]
+    if err_rate > 0:
+        err = rng.random((n, read_len)) < err_rate
+        reads = np.where(err, BASES[rng.integers(0, 4, (n, read_len))],
+                         reads)
+    flip = rng.integers(0, 2, n).astype(bool)
+    reads[flip] = comp[reads[flip][:, ::-1]]
+    with open(path, "wb", buffering=1 << 22) as f:
+        head = np.frombuffer(b">r\n", np.uint8)
+        chunk = 1 << 18
+        for s in range(0, n, chunk):
+            e = min(n, s + chunk)
+            block = np.concatenate(
+                [np.broadcast_to(head, (e - s, 3)), reads[s:e],
+                 np.full((e - s, 1), ord("\n"), np.uint8)], axis=1)
+            f.write(block.tobytes())
+    return n

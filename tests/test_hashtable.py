@@ -1,6 +1,7 @@
 """Tests for the bucketized k-mer membership table."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from hast_tpu.ops import encode as E
@@ -252,3 +253,46 @@ def test_native_sort_dedup_multithreaded_path():
     want_p = np.bitwise_or.reduceat(pay[order], np.flatnonzero(new))
     np.testing.assert_array_equal(got_w, want_w)
     np.testing.assert_array_equal(p2[:m], want_p)
+
+
+@pytest.mark.parametrize("k,n", [(6, 350), (8, 350)])
+def test_native_build_quot_bbits_ge_k_branches(monkeypatch, k, n):
+    """quot_key's bbits>k and bbits==k branches (k=6 -> bbits=8 > k;
+    k=8 -> bbits=8 == k) must match numpy — production human-scale
+    tables take bbits>k, which the 30k-key parity test never hits."""
+    import numpy as np
+
+    from hast_tpu.io import native as N
+    from hast_tpu.ops import encode as E
+    from hast_tpu.ops import hashtable as H
+
+    if N.get_lib() is None or not hasattr(N.get_lib(),
+                                          "hastio_build_quot"):
+        pytest.skip("libhastio without the native table builder")
+    rng = np.random.default_rng(k)
+    seqs = rng.integers(0, 4, size=(4 * n, k), dtype=np.int32)
+    hi, lo = E.canonical_kmers_np(seqs, k)
+    words = np.unique((hi[:, 0].astype(np.uint64) << np.uint64(32))
+                      | lo[:, 0])
+    words = words[:n]
+    hi = (words >> np.uint64(32)).astype(np.uint32)
+    lo = words.astype(np.uint32)
+    pay = (1 + (np.arange(words.size) % 3)).astype(np.uint32)
+
+    t_native = H.build_table(hi, lo, pay, k)
+    assert t_native.fmt == "quot"
+    bbits = t_native.n_buckets.bit_length() - 1
+    assert (bbits > k) if k == 6 else (bbits == k), (k, bbits)
+    monkeypatch.setattr(N, "sort_dedup_or", lambda *a: None)
+    monkeypatch.setattr(N, "build_quot", lambda *a, **kw: None)
+    monkeypatch.setattr(N, "place2", lambda *a, **kw: None)
+    t_numpy = H.build_table(hi, lo, pay, k)
+    assert t_numpy.n_buckets == t_native.n_buckets
+
+    q2 = rng.integers(0, 4, (2000, k), dtype=np.int32)
+    q2hi, q2lo = E.canonical_kmers_np(q2, k)
+    q_hi = np.concatenate([hi, q2hi[:, 0]])
+    q_lo = np.concatenate([lo, q2lo[:, 0]])
+    np.testing.assert_array_equal(H.probe_np(t_native, q_hi, q_lo),
+                                  H.probe_np(t_numpy, q_hi, q_lo))
+    assert (H.probe_np(t_native, hi, lo) > 0).all()

@@ -194,3 +194,20 @@ def test_classify_fastqs_mesh_matches_golden(fmt):
     out = io.BytesIO()
     C.write_phased_barcodes(tally, table, out, w0=1.04)
     assert out.getvalue() == (GOLD / "phased.barcodes.golden").read_bytes()
+
+
+def test_mesh_count_table_stats_match_host():
+    """MeshCountTable histo/total/n_distinct == the host CountTable
+    (a dp-sharded out_spec on the psummed total once tiled the result
+    and overcounted by dp)."""
+    from hast_tpu.parallel import distributed as D
+    from hast_tpu.pipeline import markers as M
+
+    gold = pathlib.Path(__file__).parent / "golden" / "stage00"
+    paths = [str(gold / "maternal.reads.fa.gz")]
+    mesh = PM.make_mesh(8, tp=1)
+    t = D.count_files_mesh_device(mesh, paths, 21, batch_size=4096)
+    want = M.count_files(paths, 21, batch_size=4096)
+    assert t.n_distinct == want.n_distinct
+    assert t.total == want.total
+    np.testing.assert_array_equal(t.histo(), want.histo())
