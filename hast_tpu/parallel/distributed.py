@@ -245,7 +245,14 @@ def build_unshared_markers_mesh(
     unique∩filter algebra runs per shard with no communication (both
     parents share the routing), and only final markers reach the host.
     Produces the same histo/bounds/.mer artifacts as the single-chip
-    engines, byte-for-byte."""
+    engines, byte-for-byte.
+
+    Single-controller meshes only (one process addressing every chip,
+    e.g. a full v5e slice): the marker fetch reads each shard's rows,
+    which multi-controller jax cannot address across processes.
+    Across HOSTS, shard the input files instead (count_files_multihost
+    + the DCN union-sum), or give each host its own mesh build over a
+    key-range split."""
     import sys
 
     from hast_tpu.pipeline.markers import (_dump_words, _rows_from_hist,
