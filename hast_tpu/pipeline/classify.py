@@ -843,7 +843,13 @@ def _start_device_warmup() -> "object":
             has_n = jnp.zeros((S, B), jnp.uint8)
             for fmt in ("quot", "full"):
                 data = jnp.zeros((64, 4), jnp.uint32)
-                acc = jnp.zeros((64, 3), jnp.int32)
+                # PRODUCTION-size accumulator: _pack_acc and its fetch
+                # are the per-program stall point, and their shape
+                # ((cap, 3), cap = 1<<20) is static — warming the
+                # exact executable absorbs the production fetch stall,
+                # not just a toy one (measured: a warm process's first
+                # real fetch still stalled 70 s with a toy-shape warm)
+                acc = jnp.zeros((1 << 20, 3), jnp.int32)
                 acc = tally_step(data, acc, packed, lengths, ids,
                                  has_n, 21, 2, fmt)
                 np.asarray(_pack_acc(acc)[0])   # the stall-prone fetch
