@@ -1,8 +1,11 @@
 #!/usr/bin/env python
-"""Secondary benchmark: stage-00 k-mer counting vs the jellyfish binary.
+"""Secondary benchmark: raw k-mer counting vs one `jellyfish count`.
 
-Not the driver's headline bench (that is bench.py / classify); this
-measures parental counting throughput on the same inputs:
+Not the driver's headline bench.  bench.py measures the FULL stage 00
+(device-resident marker build vs the reference's complete
+build_unshared_kmers.sh); this file isolates just the count+fetch leg
+(host engine, full-table d2h — deliberately the tunnel-bound path) for
+apples-to-apples with a single jellyfish count invocation:
   {"metric": "count_kmers_per_s", ...}
 """
 

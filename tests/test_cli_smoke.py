@@ -98,3 +98,35 @@ def test_cli_classify_mesh_golden(tmp_path):
         "--batch-size", "4096", "--output", str(out),
     ])
     assert out.read_bytes() == (gold / "phased.barcodes.golden").read_bytes()
+
+
+def test_cli_warmup_smoke(capsys):
+    """`warmup` compiles and runs the production-path programs on tiny
+    synthetic inputs without error and reports the cache dir."""
+    from hast_tpu import cli
+
+    cli.main(["warmup", "--markers", "3000", "--reads", "256"])
+    outerr = capsys.readouterr()
+    assert "warm:" in outerr.out
+
+
+def test_cli_build_markers_mesh_golden(tmp_path):
+    """`build-markers --mesh auto` through the CLI matches the golden
+    marker sets."""
+    import pathlib
+    from hast_tpu import cli
+
+    gold = pathlib.Path(__file__).parent / "golden" / "stage00"
+    cli.main([
+        "build-markers",
+        "--paternal", str(gold / "paternal.reads.fa.gz"),
+        "--maternal", str(gold / "maternal.reads.fa.gz"),
+        "--auto_bounds", "--out-dir", str(tmp_path),
+        "--batch-size", "4096", "--mesh", "auto",
+    ])
+    for p in ("paternal", "maternal"):
+        ours = sorted((tmp_path / f"{p}.unique.filter.mer")
+                      .read_bytes().split())
+        want = sorted((gold / f"{p}.unique.filter.mer")
+                      .read_bytes().split())
+        assert ours == want, p
