@@ -1133,10 +1133,10 @@ extern "C" {
 // placed after `max_kicks` evictions each (caller doubles the table
 // and retries, matching the numpy path's contract).  Deterministic:
 // the eviction slot choice comes from an LCG seeded with `seed`.
-long long hastio_place2(const uint32_t* b1, const uint32_t* b2,
-                        long long n, long long n_buckets, int bucket,
-                        unsigned long long seed,
-                        long long* row_out, signed char* slot_out) {
+static long long place2_impl(const uint32_t* b1, const uint32_t* b2,
+                             long long n, long long n_buckets, int bucket,
+                             unsigned long long seed,
+                             long long* row_out, signed char* slot_out) {
   if (bucket <= 0 || bucket > 8) return -1;
   std::vector<unsigned char> occupancy((size_t)n_buckets, 0);
   // occupant key index per slot, for evictions
@@ -1240,6 +1240,20 @@ long long hastio_place2(const uint32_t* b1, const uint32_t* b2,
   return failed;
 }
 
+long long hastio_place2(const uint32_t* b1, const uint32_t* b2,
+                        long long n, long long n_buckets, int bucket,
+                        unsigned long long seed,
+                        long long* row_out, signed char* slot_out) {
+  // the occ/occupancy tables are multi-GB at human scale: a bad_alloc
+  // must surface as the numpy-fallback return code, not a crash
+  try {
+    return place2_impl(b1, b2, n, n_buckets, bucket, seed, row_out,
+                       slot_out);
+  } catch (...) {
+    return -1;
+  }
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
@@ -1298,8 +1312,8 @@ extern "C" {
 
 // Sort (hi, lo) pairs ascending carrying pay, OR pays of duplicate
 // keys, compact in place.  Returns the number of distinct keys, or -1.
-long long hastio_sort_dedup_or(uint32_t* hi, uint32_t* lo, uint32_t* pay,
-                               long long n) {
+static long long sort_dedup_or_impl(uint32_t* hi, uint32_t* lo,
+                                    uint32_t* pay, long long n) {
   if (n < 0) return -1;
   if (n == 0) return 0;
   struct Key { uint64_t w; uint32_t p; };
@@ -1363,15 +1377,24 @@ long long hastio_sort_dedup_or(uint32_t* hi, uint32_t* lo, uint32_t* pay,
   return m;
 }
 
+long long hastio_sort_dedup_or(uint32_t* hi, uint32_t* lo, uint32_t* pay,
+                               long long n) {
+  try {
+    return sort_dedup_or_impl(hi, lo, pay, n);
+  } catch (...) {
+    return -1;
+  }
+}
+
 // Build the quot-format table in one call: per-key fused
 // feistel/quotient/alt (threaded), greedy 2-choice placement + cuckoo
 // walk (sequential, deterministic), threaded slot fill.  data_out must
 // be (1<<bbits)*4 uint32 zeros.  Returns 0 ok, >0 unplaced keys
 // (caller doubles the table), <0 error.
-long long hastio_build_quot(const uint32_t* hi, const uint32_t* lo,
-                            const uint32_t* pay, long long n, int k,
-                            int bbits, unsigned long long seed,
-                            uint32_t* data_out) {
+static long long build_quot_impl(const uint32_t* hi, const uint32_t* lo,
+                                 const uint32_t* pay, long long n, int k,
+                                 int bbits, unsigned long long seed,
+                                 uint32_t* data_out) {
   if (k < 1 || k > 31 || bbits < 1 || bbits > 31 || n < 0) return -1;
   if (2 * k - bbits > 29) return -2;
   const long long n_buckets = 1LL << bbits;
@@ -1398,8 +1421,8 @@ long long hastio_build_quot(const uint32_t* hi, const uint32_t* lo,
   }
   std::vector<long long> row((size_t)n);
   std::vector<signed char> slot((size_t)n);
-  long long failed = hastio_place2(b1v.data(), b2v.data(), n, n_buckets,
-                                   bucket, seed, row.data(), slot.data());
+  long long failed = place2_impl(b1v.data(), b2v.data(), n, n_buckets,
+                                 bucket, seed, row.data(), slot.data());
   if (failed != 0) return failed;
   {
     std::vector<std::thread> ths;
@@ -1416,6 +1439,17 @@ long long hastio_build_quot(const uint32_t* hi, const uint32_t* lo,
     for (auto& th : ths) th.join();
   }
   return 0;
+}
+
+long long hastio_build_quot(const uint32_t* hi, const uint32_t* lo,
+                            const uint32_t* pay, long long n, int k,
+                            int bbits, unsigned long long seed,
+                            uint32_t* data_out) {
+  try {
+    return build_quot_impl(hi, lo, pay, n, k, bbits, seed, data_out);
+  } catch (...) {
+    return -1;
+  }
 }
 
 }  // extern "C"
