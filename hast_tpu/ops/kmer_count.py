@@ -126,6 +126,46 @@ def count_kernel_multi_range(packed: jax.Array, good_packed: jax.Array,
     return jax.lax.map(one, (packed, good_packed, lengths))
 
 
+@functools.partial(jax.jit, static_argnames=("k", "sort"))
+def count_kernel_multi_clean(packed: jax.Array, lengths: jax.Array,
+                             k: int, sort: bool = True):
+    """:func:`count_kernel_multi` for CLEAN batches (every base ACGT):
+    the validity mask is implied by lengths alone, so the good bitmask
+    — a third of the upload bytes — never crosses the host->device
+    link.  The counting reader proves cleanliness per batch by
+    comparing its mask against the lengths-implied pattern."""
+
+    def one(args):
+        p, lens = args
+        b, lp = p.shape
+        shifts = jnp.arange(4, dtype=jnp.int32) * 2
+        codes = ((p.astype(jnp.int32)[:, :, None] >> shifts[None, None, :])
+                 & 3).reshape(b, lp * 4)
+        hi, lo = E.canonical_kmers(codes, k)
+        valid = E.window_valid(jnp.ones(codes.shape, bool), lens, k)
+        hi = jnp.where(valid, hi, jnp.uint32(0xFFFFFFFF)).reshape(-1)
+        lo = jnp.where(valid, lo, jnp.uint32(0xFFFFFFFF)).reshape(-1)
+        if sort:
+            return jax.lax.sort((hi, lo), num_keys=2)
+        return hi, lo
+
+    return jax.lax.map(one, (packed, lengths))
+
+
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+
+def batch_is_clean(good: np.ndarray, lengths: np.ndarray) -> bool:
+    """True iff every in-length base is ACGT.
+
+    Exact via popcount: the native reader only ever sets mask bits for
+    positions < length (good_row, native/hastio.cpp), so the batch is
+    clean iff the number of set bits equals the number of bases."""
+    set_bits = int(_POPCNT8[good].sum(dtype=np.int64))
+    return set_bits == int(np.minimum(
+        lengths.astype(np.int64), good.shape[1] * 8).sum())
+
+
 def pack_good_np(seqs_u8: np.ndarray) -> np.ndarray:
     """(…, L) ASCII -> (…, L/8) uint8 ACGT-validity bitmask."""
     good = _ACGT[seqs_u8].astype(np.uint8)
@@ -828,6 +868,7 @@ def count_file_native(path: str, k: int, batch_size: int = 1 << 14,
     S = super_batch
     dcounter = DeviceCounter(k)
     buf: list = []
+    clean: list = []
     range_args = None
     if key_range is not None:
         lo_b, hi_b = np.uint64(key_range[0]), np.uint64(key_range[1])
@@ -835,21 +876,32 @@ def count_file_native(path: str, k: int, batch_size: int = 1 << 14,
                       jnp.uint32(hi_b >> np.uint64(32)), jnp.uint32(hi_b))
 
     def flush():
-        nonlocal buf
+        nonlocal buf, clean
         if not buf:
             return
         B = buf[0].packed.shape[0]
         sp = max(b.packed.shape[1] for b in buf)
         packed = np.zeros((S, B, sp), np.uint8)
-        good = np.zeros((S, B, sp // 2), np.uint8)
         lengths = np.zeros((S, B), np.int32)
         for s, b in enumerate(buf):
             packed[s, :, :b.packed.shape[1]] = b.packed
-            good[s, :, :b.good.shape[1]] = b.good
             lengths[s] = b.lengths
         n_used = len(buf)
+        # clean super-batch (every in-length base ACGT, the common
+        # case): validity derives from lengths on device and the good
+        # bitmask — a third of the upload bytes — is never sent
+        all_clean = all(clean) and range_args is None
+        if not all_clean:
+            good = np.zeros((S, B, sp // 2), np.uint8)
+            for s, b in enumerate(buf):
+                good[s, :, :b.good.shape[1]] = b.good
         buf = []
-        if range_args is not None:
+        clean = []
+        if all_clean:
+            res = count_kernel_multi_clean(jnp.asarray(packed),
+                                           jnp.asarray(lengths), k,
+                                           sort=False)
+        elif range_args is not None:
             res = count_kernel_multi_range(
                 jnp.asarray(packed), jnp.asarray(good),
                 jnp.asarray(lengths), k, *range_args, sort=False)
@@ -873,6 +925,8 @@ def count_file_native(path: str, k: int, batch_size: int = 1 << 14,
             reader.close()
             return None
         buf.append(batch)
+        clean.append(range_args is None
+                     and batch_is_clean(batch.good, batch.lengths))
         if len(buf) >= S:
             flush()
     flush()

@@ -140,3 +140,41 @@ def test_native_packed_matches_host_pack(name):
         # ASCII rows are zero-padded; (0>>1)&3 == 0, so packing the
         # padded row matches the padded packed row exactly
         assert np.array_equal(pack_codes_np(a.seqs), b.seqs)
+
+
+def test_native_count_clean_and_dirty_parity(tmp_path):
+    """The clean-batch fast path (validity derived from lengths, no
+    good-mask upload) and the dirty path (N-containing reads) must both
+    match the python counting engine exactly."""
+    import numpy as np
+
+    from hast_tpu.ops import kmer_count as KC
+    from hast_tpu.io import fastq as FQ
+
+    rng = np.random.default_rng(23)
+    B = np.frombuffer(b"ACGT", np.uint8)
+    k = 21
+
+    def reads(n, with_n):
+        out = []
+        for i in range(n):
+            s = bytearray(B[rng.integers(0, 4, 80)].tobytes())
+            if with_n and i % 7 == 0:
+                s[int(rng.integers(0, 80))] = ord("N")
+            out.append(bytes(s))
+        return out
+
+    for tag, with_n in (("clean", False), ("dirty", True)):
+        path = tmp_path / f"{tag}.fq"
+        with open(path, "wb") as f:
+            for i, s in enumerate(reads(300, with_n)):
+                f.write(b"@r%d#1_1_1/1\n%s\n+\n%s\n"
+                        % (i, s, b"F" * len(s)))
+        native = KC.count_file_native(str(path), k, batch_size=64)
+        if native is None:
+            import pytest
+            pytest.skip("libhastio unavailable")
+        want = KC.count_batches(
+            FQ.sequence_batches(str(path), k, 64), k)
+        np.testing.assert_array_equal(native.words, want.words, tag)
+        np.testing.assert_array_equal(native.counts, want.counts, tag)
