@@ -197,6 +197,10 @@ def _add_classify_reads(sub):
                    help="accepted for reference compatibility (unused)")
     p.add_argument("--format", choices=("fasta", "fastq"), default="fastq",
                    help="accepted for reference compatibility")
+    p.add_argument("--mesh", default=None, metavar="DPxTP|auto",
+                   help="classify on a device mesh (reads dp-split, "
+                        "marker table tp-sharded; auto = all devices, "
+                        "tp=1)")
 
     def run(a):
         from hast_tpu.pipeline import classify as C
@@ -204,6 +208,15 @@ def _add_classify_reads(sub):
         from hast_tpu.utils.checkpoint import step
         wd = a.workdir
         kw = {}
+        if a.mesh:
+            import jax
+
+            from hast_tpu.parallel.mesh import make_mesh
+            if a.mesh == "auto":
+                dp, tp = len(jax.devices()), 1
+            else:
+                dp, tp = (int(x) for x in a.mesh.lower().split("x"))
+            kw["mesh"] = make_mesh(dp * tp, tp=tp)
         if a.adaptor_f is not None:
             kw["adaptor_f"] = a.adaptor_f
         if a.adaptor_r is not None:

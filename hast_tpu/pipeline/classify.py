@@ -864,8 +864,12 @@ def _start_device_warmup() -> "object":
 def run_classify(hap0: str, hap1: str, reads: list[str], out,
                  w0: float = 1.0, w1: float = 1.0,
                  adaptor_f: str = ADAPTOR_F, adaptor_r: str = ADAPTOR_R,
-                 batch_size: int = FQ.DEFAULT_BATCH) -> BarcodeTally:
-    """Full stage-01 classify: the reference binary's main()."""
+                 batch_size: int = FQ.DEFAULT_BATCH,
+                 mesh=None) -> BarcodeTally:
+    """Full stage-01 classify: the reference binary's main().
+
+    mesh: optional jax.sharding.Mesh — probes run dp×tp-sharded
+    (classify_fastqs_mesh) instead of single-device."""
     from hast_tpu.utils.profiling import PhaseTimer
     timer = PhaseTimer()
     print("__START__", file=sys.stderr)
@@ -875,9 +879,13 @@ def run_classify(hap0: str, hap1: str, reads: list[str], out,
         _start_device_warmup()
         table = load_marker_table(hap0, hap1)
         erase_adaptors(table, adaptor_f, adaptor_r)
-        _device_table(table, adaptor_f, adaptor_r)
+        if mesh is None:   # the mesh path shards the table itself
+            _device_table(table, adaptor_f, adaptor_r)
     with timer.phase("classify"):
-        tally = classify_fastqs(table, reads, batch_size)
+        if mesh is not None:
+            tally = classify_fastqs_mesh(mesh, table, reads, batch_size)
+        else:
+            tally = classify_fastqs(table, reads, batch_size)
     print("__print result__", file=sys.stderr)
     with timer.phase("decide_write"):
         write_phased_barcodes(tally, table, out, w0, w1)

@@ -130,3 +130,23 @@ def test_cli_build_markers_mesh_golden(tmp_path):
         want = sorted((gold / f"{p}.unique.filter.mer")
                       .read_bytes().split())
         assert ours == want, p
+
+
+def test_cli_classify_reads_mesh_golden(tmp_path):
+    """`classify-reads --mesh DPxTP` (stage-01 driver on a device mesh)
+    == the golden phased.barcodes."""
+    import pathlib
+    from hast_tpu import cli
+
+    gold = pathlib.Path(__file__).parent / "golden" / "stage01"
+    cli.main([
+        "classify-reads",
+        "--paternal_mer", str(gold / "hap0.mer"),
+        "--maternal_mer", str(gold / "hap1.mer"),
+        "--filial", str(gold / "reads1.fq.gz"),
+        "--filial", str(gold / "reads2.fq"),
+        "--workdir", str(tmp_path),
+        "--batch-size", "4096", "--mesh", "4x2",
+    ])
+    assert (tmp_path / "phased.barcodes").read_bytes() == \
+        (gold / "phased.barcodes.golden").read_bytes()
