@@ -130,13 +130,18 @@ def run_reference(exe, hap0, hap1, reads):
     return time.perf_counter() - t0
 
 
-def run_ours(hap0, hap1, reads):
+def run_ours(hap0, hap1, reads, phases=None):
     from hast_tpu.pipeline import classify as C
+    from hast_tpu.utils.profiling import PhaseTimer
 
+    timer = PhaseTimer()
     t0 = time.perf_counter()
     with open(CACHE / "ours.phased", "wb") as out:
-        C.run_classify(hap0, hap1, [reads], out, w0=1.04)
-    return time.perf_counter() - t0
+        C.run_classify(hap0, hap1, [reads], out, w0=1.04, timer=timer)
+    dt = time.perf_counter() - t0
+    if phases is not None:
+        phases.append({k: round(v, 3) for k, v in timer.phases.items()})
+    return dt
 
 
 def main():
@@ -181,14 +186,17 @@ def _measure(done):
     # warm the jit cache with a tiny prefix so compile time is excluded
     # from neither side unfairly: reference pays its load each run, we
     # pay compile once per shape; both measured end-to-end below.
-    ours_s = run_ours(hap0, hap1, reads)
-    log(f"ours (cold, incl compile): {ours_s:.2f}s")
-    # remote-attached TPU latency is noisy: take the best of two warm
-    # runs (each is a fresh end-to-end run incl. table load/transfer)
-    samples = [run_ours(hap0, hap1, reads)]
-    log(f"ours (warm 1): {samples[-1]:.2f}s")
-    samples.append(run_ours(hap0, hap1, reads))
-    log(f"ours (warm 2): {samples[-1]:.2f}s")
+    cold_s = run_ours(hap0, hap1, reads)
+    log(f"ours (cold, incl compile): {cold_s:.2f}s")
+    # remote-attached TPU latency is noisy: take ~5 warm samples (each
+    # a fresh end-to-end run incl. table load/transfer) with per-phase
+    # breakdowns so a degraded tunnel window is visible in the record,
+    # not silently accepted (VERDICT r04 weak #1).
+    samples, phases = [], []
+    n_warm = int(os.environ.get("HAST_BENCH_WARM_SAMPLES", "5"))
+    for i in range(n_warm):
+        samples.append(run_ours(hap0, hap1, reads, phases))
+        log(f"ours (warm {i + 1}): {samples[-1]:.2f}s  phases={phases[-1]}")
     ours_s = min(samples)
     # the tunnel sometimes degrades 10x for minutes at a time (PERF.md
     # §7); when the measurement is far off the best this machine has
@@ -204,9 +212,11 @@ def _measure(done):
         except Exception:
             pass
     extra = 0
-    while best_ever and ours_s > 2.5 * best_ever and extra < 4:
+    # resample on a milder degradation threshold than r04's 2.5x: a
+    # 1.3x-off window is already worth more draws (VERDICT weak #1)
+    while best_ever and ours_s > 1.3 * best_ever and extra < 4:
         extra += 1
-        samples.append(run_ours(hap0, hap1, reads))
+        samples.append(run_ours(hap0, hap1, reads, phases))
         log(f"ours (degraded-tunnel resample {extra}): {samples[-1]:.2f}s")
         ours_s = min(samples)
     if best_ever is None or ours_s < best_ever:
@@ -233,6 +243,8 @@ def _measure(done):
         log("WARNING: output mismatch vs reference!")
 
     value = N_READS / ours_s
+    best_i = samples.index(ours_s)
+    tunnel_degraded = bool(best_ever and ours_s > 1.3 * best_ever)
     fields = {
         "metric": "classify_reads_per_s",
         "value": round(value),
@@ -240,7 +252,11 @@ def _measure(done):
         "vs_baseline": round(ref_s / ours_s, 3),
         "median_reads_per_s": round(N_READS / med_s),
         "n_samples": len(samples),
+        "samples_s": [round(s, 3) for s in samples],
+        "cold_s": round(cold_s, 2),
+        "phases_best_s": phases[best_i] if best_i < len(phases) else None,
         "resampled": extra > 0,
+        "tunnel_degraded": tunnel_degraded,
     }
     try:
         fields.update(_measure_count(reads))
@@ -359,8 +375,13 @@ def _measure_count(reads):
                 f"ours={ours_d} ref={ref_digests[p]}")
     log(f"stage00 ours (best): {ours_s:.2f}s -> "
         f"{kmers / ours_s:,.0f} kmers/s; vs ref {ref_s / ours_s:.2f}x")
+    ratio = round(ref_s / ours_s, 3)
+    # stage00_vs_reference is the accurate name (full stage-00 pipeline
+    # vs build_unshared_kmers.sh); count_vs_jellyfish kept one
+    # transition round for JSON consumers (ADVICE r04).
     return {"count_kmers_per_s": round(kmers / ours_s),
-            "count_vs_jellyfish": round(ref_s / ours_s, 3),
+            "stage00_vs_reference": ratio,
+            "count_vs_jellyfish": ratio,
             "count_scope": "stage00_e2e",
             "count_cold_s": round(cold_s, 2),
             "count_warm_s": round(warm_s, 2)}

@@ -85,8 +85,17 @@ def _add_build_markers(sub):
                     from hast_tpu.parallel.distributed import \
                         build_unshared_markers_mesh
                     from hast_tpu.parallel.mesh import make_mesh
-                    dp = len(jax.devices()) if a.mesh == "auto" \
-                        else int(a.mesh.lower().split("x")[0])
+                    if a.mesh == "auto":
+                        dp = len(jax.devices())
+                    else:
+                        parts = a.mesh.lower().split("x")
+                        dp = int(parts[0])
+                        # stage 00 has no tp axis; reject a non-1 second
+                        # component instead of silently ignoring it
+                        if len(parts) > 1 and parts[1] not in ("", "1"):
+                            sys.exit("ERROR: build-markers --mesh shards "
+                                     "count tables over DP only; use "
+                                     f"'{dp}' or '{dp}x1' (got {a.mesh})")
                     build_unshared_markers_mesh(
                         make_mesh(dp, tp=1),
                         _split_paths(a.paternal),

@@ -29,11 +29,15 @@ def get_lib():
         try:
             subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                            capture_output=True)
-        except Exception:
+        except Exception as e:
+            from hast_tpu.utils.profiling import notice_fallback
+            notice_fallback("libhastio build", e)
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
-    except OSError:
+    except OSError as e:
+        from hast_tpu.utils.profiling import notice_fallback
+        notice_fallback("libhastio load", e)
         return None
     lib.hastio_open.restype = ctypes.c_void_p
     lib.hastio_open.argtypes = [ctypes.c_char_p, ctypes.c_int,

@@ -210,7 +210,9 @@ def _assign(b1, b2, n_buckets: int, bucket: int):
         res = N.place2(np.asarray(b1, np.uint32),
                        np.asarray(b2, np.uint32),
                        n_buckets, bucket, seed=n_buckets)
-    except Exception:
+    except Exception as e:
+        from hast_tpu.utils.profiling import notice_fallback
+        notice_fallback("native place2", e)
         res = None
     if res == "failed":
         return None
@@ -334,8 +336,9 @@ def build_table(hi, lo, payload, k: int, load: float = 0.35,
                 lo = lo.copy()
                 payload = payload.copy()
                 m = N.sort_dedup_or(hi, lo, payload)
-        except Exception:
-            pass
+        except Exception as e:
+            from hast_tpu.utils.profiling import notice_fallback
+            notice_fallback("native sort_dedup_or", e)
         if m is not None:
             hi, lo, payload = hi[:m], lo[:m], payload[:m]
         else:
@@ -370,7 +373,9 @@ def build_table(hi, lo, payload, k: int, load: float = 0.35,
                                     np.ascontiguousarray(lo),
                                     np.ascontiguousarray(payload),
                                     k, bbits, seed=n_buckets)
-            except Exception:
+            except Exception as e:
+                from hast_tpu.utils.profiling import notice_fallback
+                notice_fallback("native build_quot", e)
                 data = None
             if data is None:
                 b1, q = _quot_bucket_q(hi, lo, k, bbits)

@@ -556,8 +556,14 @@ def _unique_filter_kernel(a_hi, a_lo, a_c, b_hi, b_lo, b_c,
         jnp.where(tag_s == 0, idx_s, 0)].max(a_shared_s)
     b_shared = jnp.zeros(nb, bool).at[
         jnp.where(tag_s == 1, idx_s, 0)].max(b_shared_s)
-    keep_a = (~a_shared) & (a_c >= a_lower) & (a_c <= a_upper)
-    keep_b = (~b_shared) & (b_c >= b_lower) & (b_c <= b_upper)
+    # mask sentinel pads explicitly: a lone first/last pad row has no
+    # equal neighbor and would otherwise rely on count-0 being outside
+    # the bounds — with lower=0 a 0xFFFF..FF pad key could leak into
+    # the marker set.  This makes the kernel safe for ANY bounds.
+    a_real = (a_hi != _SENT) | (a_lo != _SENT)
+    b_real = (b_hi != _SENT) | (b_lo != _SENT)
+    keep_a = (~a_shared) & a_real & (a_c >= a_lower) & (a_c <= a_upper)
+    keep_b = (~b_shared) & b_real & (b_c >= b_lower) & (b_c <= b_upper)
     return keep_a, keep_b
 
 
@@ -599,6 +605,13 @@ class DeviceCountTable:
                    + (np.asarray(hi).astype(np.int64).sum() << 14))
 
     def histo(self, low: int = 1, high: int = 10000) -> np.ndarray:
+        # _histo_kernel's bins are int32: safe iff this table holds
+        # < 2^31 rows.  HBM bounds a single-chip resident run to
+        # ~1.3e9 keys today, but assert rather than inherit the margin
+        # silently (a larger-HBM device or fold_above change would
+        # otherwise wrap the count-1 bin negative).
+        assert self.counts.shape[0] < 2**31, \
+            "histogram bins are int32; shard or partition first"
         return np.asarray(_histo_kernel(self.counts, high)).astype(np.int64)
 
     def fetch(self) -> CountTable:
@@ -756,16 +769,25 @@ def estimate_boundaries(batches_sample, k: int, n_parts: int) -> np.ndarray:
     return bounds
 
 
-def sample_boundaries(batch_source, k: int, n_parts: int) -> np.ndarray:
-    """Quantile key-space split points from the source's first 8
-    batches; genomic input is locally correlated, so per-pass distinct
-    sizes are logged by the pass drivers — a badly skewed split is
-    visible, not silent."""
+def sample_boundaries(batch_source, k: int, n_parts: int,
+                      n_sample: int = 16,
+                      scan_cap: int = 512) -> np.ndarray:
+    """Quantile key-space split points from a STRIDED batch sample.
+
+    Genomic input is locally correlated (reads arrive roughly in
+    library order), so the first-8-batches sample of rounds <=4 could
+    systematically skew the quantiles.  Instead scan up to ``scan_cap``
+    batches and keep every (scan_cap // n_sample)-th one — same device
+    work (<= n_sample batches k-merized), a 64x wider observation
+    window.  Per-pass distinct sizes are still logged by the pass
+    drivers, so residual skew stays visible."""
+    stride = max(1, scan_cap // n_sample)
     sample = []
     for i, b in enumerate(batch_source()):
-        sample.append(b)
-        if i >= 7:
+        if i >= scan_cap:
             break
+        if i % stride == 0:
+            sample.append(b)
     return estimate_boundaries(sample, k, n_parts)
 
 

@@ -191,22 +191,42 @@ def allgather_count_table(table: KC.CountTable) -> KC.CountTable:
 
 
 def count_files_mesh_device(mesh, paths: Sequence[str], k: int,
-                            batch_size: int = FQ.DEFAULT_BATCH
-                            ) -> PM.MeshCountTable:
+                            batch_size: int = FQ.DEFAULT_BATCH,
+                            check_lag: int = 4) -> PM.MeshCountTable:
     """Mesh-resident stage-00 counting: hash-range shards stay in each
     device's HBM (resident run = distinct/dp per chip); nothing but
     all_to_all routing crosses ICI and nothing crosses to the host.
 
     Capacity overflow (a batch whose k-mers land too unevenly for the
-    fixed all_to_all slots, 2x slack) is checked lazily at finalize —
-    chunks fold as they stream, so there is no per-batch device fetch;
-    a genuine overflow raises with a retry hint instead of silently
-    dropping k-mers."""
+    fixed all_to_all slots, 2x slack) recovers per batch: a chunk is
+    folded into the counter only after its drop-count scalar (checked
+    ``check_lag`` batches later, by which point the device has long
+    finished it — no hot-path sync) reads zero; an overflowed batch is
+    re-dispatched whole with doubled slack until cap >= n, at which
+    point a drop is impossible.  A skewed batch therefore costs one
+    retry, not the entire streamed input (VERDICT r04 weak #5)."""
     import jax.numpy as jnp
     dp = mesh.shape["dp"]
     ctr = PM.MeshDeviceCounter(mesh, k)
-    total_dropped = None   # folded on device: no per-batch sync, no
-    #                        per-batch array pinned until finalize
+    pending: list = []   # (dropped, seqs, lengths, rhi, rlo)
+
+    def dispatch(seqs, lengths, slack):
+        return PM.sharded_count_chunk(
+            mesh, jnp.asarray(seqs), jnp.asarray(lengths), k, slack)
+
+    def settle(entry):
+        dropped, seqs, lengths, rhi, rlo = entry
+        slack = 2
+        while int(np.asarray(dropped).sum()):
+            if slack >= dp:   # cap was >= n: a drop cannot happen
+                raise AssertionError(
+                    "k-mers dropped at full per-destination capacity")
+            slack = min(2 * slack, dp)
+            print(f"  [mesh count] all_to_all overflow: retrying batch "
+                  f"with slack={slack}", file=__import__("sys").stderr)
+            rhi, rlo, dropped = dispatch(seqs, lengths, slack)
+        ctr.add_chunk(rhi, rlo)
+
     for path in paths:
         for batch in FQ.sequence_batches(path, k, batch_size):
             seqs, lengths = batch.seqs, batch.lengths
@@ -217,20 +237,13 @@ def count_files_mesh_device(mesh, paths: Sequence[str], k: int,
                     [seqs, np.zeros((pad, seqs.shape[1]), np.uint8)])
                 lengths = np.concatenate(
                     [lengths, np.zeros(pad, np.int32)])
-            rhi, rlo, dropped = PM.sharded_count_chunk(
-                mesh, jnp.asarray(seqs), jnp.asarray(lengths), k)
-            ctr.add_chunk(rhi, rlo)
-            d = jnp.sum(dropped)
-            total_dropped = d if total_dropped is None \
-                else total_dropped + d
-    table = ctr.finalize_mesh()
-    n_dropped = int(np.asarray(total_dropped)) \
-        if total_dropped is not None else 0
-    if n_dropped:
-        raise RuntimeError(
-            f"{n_dropped} k-mers dropped by all_to_all capacity; rerun "
-            f"with a smaller batch_size (more per-destination slack)")
-    return table
+            rhi, rlo, dropped = dispatch(seqs, lengths, 2)
+            pending.append((dropped, seqs, lengths, rhi, rlo))
+            if len(pending) > check_lag:
+                settle(pending.pop(0))
+    for entry in pending:
+        settle(entry)
+    return ctr.finalize_mesh()
 
 
 def build_unshared_markers_mesh(

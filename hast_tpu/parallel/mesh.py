@@ -236,15 +236,19 @@ def _mesh_fold(mesh: Mesh, hi, lo, counts):
 
 @functools.partial(jax.jit, static_argnames=("mesh", "high"))
 def _mesh_histo(mesh: Mesh, counts, high: int):
-    """Global count histogram: per-shard bincount + psum -> replicated
-    (high+2,) vector (pads' bin 0 zeroed like the single-chip kernel)."""
+    """PER-SHARD count histograms: (dp, high+2) int32, summed on the
+    host in int64 by the caller.  A global psum here would overflow
+    int32 in the count-1 bin at the module's advertised ~3e9-key scale
+    (error k-mers alone can exceed 2^31 across a 16-chip slice); the
+    per-shard vectors are each bounded by shard size < 2^31 and are
+    only (high+2,) ints of d2h."""
 
     def f(c):
         h = jnp.bincount(jnp.clip(c[0], 0, high + 1), length=high + 2)
-        return jax.lax.psum(h.at[0].set(0), "dp")
+        return h.at[0].set(0)[None]
 
     return jax.shard_map(f, mesh=mesh, in_specs=(P("dp", None),),
-                         out_specs=P())(counts)
+                         out_specs=P("dp", None))(counts)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh",))
@@ -317,8 +321,8 @@ class MeshCountTable:
                    + (np.asarray(hi16).astype(np.int64).sum() << 14))
 
     def histo(self, low: int = 1, high: int = 10000) -> np.ndarray:
-        return np.asarray(_mesh_histo(self.mesh, self.counts,
-                                      high)).astype(np.int64)
+        per_shard = np.asarray(_mesh_histo(self.mesh, self.counts, high))
+        return per_shard.astype(np.int64).sum(axis=0)
 
 
 class MeshDeviceCounter:
@@ -447,9 +451,9 @@ def mesh_marker_algebra(pat: MeshCountTable, mat: MeshCountTable,
     return fetch(pah, pal, pan), fetch(pbh, pbl, pbn)
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "k"))
+@functools.partial(jax.jit, static_argnames=("mesh", "k", "slack"))
 def sharded_count_chunk(mesh: Mesh, seqs_u8: jax.Array, lengths: jax.Array,
-                        k: int):
+                        k: int, slack: int = 2):
     """Distributed k-mer counting step: dp-sharded reads -> per-device
     hash-range-sharded sorted k-mer streams via all_to_all over dp.
 
@@ -458,6 +462,13 @@ def sharded_count_chunk(mesh: Mesh, seqs_u8: jax.Array, lengths: jax.Array,
     sentinel padding — meryl's shard->count->union-sum over ICI), and
     locally sorts.  Returns (hi, lo) with shape (dp, cap) sharded on
     dim 0; sentinel entries pad the tail of each shard.
+
+    slack: per-destination capacity multiplier (cap = n // dp * slack).
+    2 is ample for hash-uniform keys; overflow recovery re-dispatches
+    the SAME batch with doubled slack (halving cannot fix systematic
+    skew — the cap scales with batch size, so a destination receiving
+    a constant fraction of keys overflows at every size).  At
+    slack >= dp, cap >= n and a drop is impossible.
     """
     dp = mesh.shape["dp"]
     from hast_tpu.ops.kmer_count import _ACGT
@@ -470,7 +481,9 @@ def sharded_count_chunk(mesh: Mesh, seqs_u8: jax.Array, lengths: jax.Array,
         hi = jnp.where(valid, hi, E.SENTINEL).reshape(-1)
         lo = jnp.where(valid, lo, E.SENTINEL).reshape(-1)
         n = hi.shape[0]
-        cap = n // dp * 2  # per-destination capacity with 2x slack
+        # per-destination capacity; exactly n at full slack (n//dp*dp
+        # can be n-1 when dp doesn't divide n, which could still drop)
+        cap = n if slack >= dp else min(n, n // dp * slack)
         # destination shard by top hash bits (sentinel -> own shard)
         h = H.kmer_hash(hi, lo, jnp)
         if dp == 1:

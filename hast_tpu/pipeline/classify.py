@@ -86,8 +86,9 @@ def load_marker_table(hap0_path: str, hap1_path: str,
                     print(f"Recorded {n} haplotype {h} specific "
                           f"{table.k}-mers", file=sys.stderr)
                 return table
-        except Exception:
-            pass
+        except Exception as e:
+            from hast_tpu.utils.profiling import notice_fallback
+            notice_fallback("probetable snapshot load", e)
     h0_hi, h0_lo, k = E.load_mer_file(hap0_path)
     h1_hi, h1_lo, k1 = E.load_mer_file(hap1_path, k_expect=k)
     del k1
@@ -419,8 +420,9 @@ class BarcodeTally:
         try:
             from hast_tpu.io import native as N
             order = N.argsort_fixed(all_names)
-        except Exception:
-            pass
+        except Exception as e:
+            from hast_tpu.utils.profiling import notice_fallback
+            notice_fallback("native argsort_fixed", e)
         if order is None:
             order = np.argsort(all_names, kind="stable")
         s = all_names[order]
@@ -613,8 +615,9 @@ def _classify_fastqs_device_tally(table, paths, batch_size, tally,
         order = None
         try:
             order = N.argsort_fixed(names)
-        except Exception:
-            pass
+        except Exception as e:
+            from hast_tpu.utils.profiling import notice_fallback
+            notice_fallback("native argsort_fixed", e)
         local = _fetch_acc_finish(fetch)
         reader.close()
         tally.merge_names(names, local[:names.size])
@@ -788,8 +791,9 @@ def write_phased_barcodes(tally: BarcodeTally, table: H.KmerTable,
             buf = N.decide_format_phased(
                 bcs, order, np.ascontiguousarray(counts[:, 0]),
                 np.ascontiguousarray(counts[:, 1]), size0, size1, w0, w1)
-    except Exception:
-        pass
+    except Exception as e:
+        from hast_tpu.utils.profiling import notice_fallback
+        notice_fallback("native decide_format_phased", e)
     if buf is None:  # pure-python fallback (identical output)
         if order is None:
             order = np.argsort(bcs, kind="stable")
@@ -865,13 +869,15 @@ def run_classify(hap0: str, hap1: str, reads: list[str], out,
                  w0: float = 1.0, w1: float = 1.0,
                  adaptor_f: str = ADAPTOR_F, adaptor_r: str = ADAPTOR_R,
                  batch_size: int = FQ.DEFAULT_BATCH,
-                 mesh=None) -> BarcodeTally:
+                 mesh=None, timer=None) -> BarcodeTally:
     """Full stage-01 classify: the reference binary's main().
 
     mesh: optional jax.sharding.Mesh — probes run dp×tp-sharded
-    (classify_fastqs_mesh) instead of single-device."""
+    (classify_fastqs_mesh) instead of single-device.
+    timer: optional PhaseTimer — callers (bench.py) pass one to read
+    the per-phase breakdown back; a fresh one is made otherwise."""
     from hast_tpu.utils.profiling import PhaseTimer
-    timer = PhaseTimer()
+    timer = timer if timer is not None else PhaseTimer()
     print("__START__", file=sys.stderr)
     print(f" use hap0 weight {w0:g}", file=sys.stderr)
     print(f" use hap1 weight {w1:g}", file=sys.stderr)

