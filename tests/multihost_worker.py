@@ -39,11 +39,27 @@ def main():
         if pid == 0:
             with open(os.path.join(outdir, "phased.merged"), "wb") as out:
                 C.write_phased_barcodes(tally, table, out, w0=1.04)
-    elif mode == "count":
+    elif mode == "classify_tp2":
+        # VERDICT r04 #6: the tp>1 multihost path — 2 processes × 4
+        # local fake devices, marker table tp=2-sharded per process
+        from hast_tpu.pipeline import classify as C
+        assert len(jax.local_devices()) >= 4, jax.local_devices()
+        table = C.load_marker_table(os.path.join(gold, "hap0.mer"),
+                                    os.path.join(gold, "hap1.mer"))
+        C.erase_adaptors(table)
+        paths = [os.path.join(gold, "reads1.fq.gz"),
+                 os.path.join(gold, "reads2.fq")]
+        tally = D.classify_fastqs_multihost(table, paths, batch_size=4096,
+                                            tp=2)
+        if pid == 0:
+            with open(os.path.join(outdir, "phased.merged"), "wb") as out:
+                C.write_phased_barcodes(tally, table, out, w0=1.04)
+    elif mode in ("count", "count_mesh"):
         e2e = os.path.join(os.path.dirname(__file__), "golden", "e2e")
         paths = [os.path.join(e2e, "paternal.fa.gz"),
                  os.path.join(e2e, "maternal.fa.gz")]
-        table = D.count_files_multihost(paths, 21, batch_size=4096)
+        table = D.count_files_multihost(paths, 21, batch_size=4096,
+                                        use_mesh=(mode == "count_mesh"))
         if pid == 0:
             import numpy as np
             np.savez(os.path.join(outdir, "count.npz"),
