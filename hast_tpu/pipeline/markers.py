@@ -81,6 +81,41 @@ def count_files_device(paths: Sequence[str], k: int,
     return total.finalize_device()
 
 
+def count_files_device_pair(a_paths: Sequence[str],
+                            b_paths: Sequence[str], k: int,
+                            batch_size: int = FQ.DEFAULT_BATCH):
+    """Count BOTH parents with their host legs overlapped.
+
+    The stage-00 count leg is host-bound (reader + super-batch assembly
+    + h2d run ~10x below the device's measured extract+sort rate,
+    PERF.md §5) and the two parents used to count serially.  Each
+    parent's stream is unchanged and deterministic — they only
+    interleave device dispatches, and the folds use separate
+    accumulators — so tables are bit-identical to the serial path; one
+    parent's reader threads and numpy assembly now run while the
+    other's device folds drain.  Returns (a_table, b_table)."""
+    import threading
+
+    out: dict = {}
+
+    def work(tag, paths):
+        try:
+            out[tag] = count_files_device(paths, k, batch_size)
+        except BaseException as e:   # re-raised on the caller thread
+            out[tag] = e
+
+    t = threading.Thread(target=work, args=("a", a_paths),
+                         name="hast-count-a")
+    t.start()
+    work("b", b_paths)
+    t.join()
+    if isinstance(out["a"], BaseException):
+        raise out["a"]
+    if isinstance(out["b"], BaseException):
+        raise out["b"]
+    return out["a"], out["b"]
+
+
 def histo_rows(table, high: int = 10000):
     """(count_value, n_kmers) rows exactly as `jellyfish histo` prints:
     non-zero bins only, counts > high lumped into the high+1 row."""
@@ -322,12 +357,13 @@ def _build_unshared_markers_device(
     }
     with step("00.device_markers", out_dir, log=log) as todo:
         if todo and n_parts <= 1:
-            with timer.phase("count_maternal"):
-                mat = count_files_device(maternal, k, batch_size)
-            timer.add_items("count_maternal", mat.total)
-            with timer.phase("count_paternal"):
-                pat = count_files_device(paternal, k, batch_size)
-            timer.add_items("count_paternal", pat.total)
+            with timer.phase("count_parents"):
+                # both parents' host legs overlapped (reader/assembly
+                # of one runs while the other's device folds drain);
+                # tables bit-identical to serial counting
+                mat, pat = count_files_device_pair(maternal, paternal,
+                                                   k, batch_size)
+            timer.add_items("count_parents", mat.total + pat.total)
             print(f"  maternal: {mat.n_distinct} distinct / {mat.total} "
                   f"total {k}-mers", file=log)
             print(f"  paternal: {pat.n_distinct} distinct / {pat.total} "
@@ -377,14 +413,22 @@ def _build_unshared_markers_device(
                      "paternal": np.zeros(high + 2, np.int64)}
             stats = {"maternal": [0, 0], "paternal": [0, 0]}
             with timer.phase("histo_sweep"):
+                import time as _time
                 for p in range(n_parts):
                     for name, files in (("maternal", maternal),
                                         ("paternal", paternal)):
+                        _t0 = _time.perf_counter()
                         t = count_range(files, boundaries[p],
                                         boundaries[p + 1])
                         hists[name] += t.histo(high=high)
                         stats[name][0] += t.n_distinct
                         stats[name][1] += t.total
+                        # per-pass residency + wall clock: quantile
+                        # balance of sample_boundaries is visible here
+                        print(f"  count pass {p + 1}/{n_parts} {name}: "
+                              f"{t.n_distinct} distinct resident, "
+                              f"{_time.perf_counter() - _t0:.1f}s",
+                              file=log)
                         del t
             for name in ("maternal", "paternal"):
                 print(f"  {name}: {stats[name][0]} distinct / "
