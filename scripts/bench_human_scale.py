@@ -255,6 +255,12 @@ def main():
         warm.append(run_ours(h0, h1, reads, "ours.phased", phases))
         log(f"ours warm {i + 1}: {warm[-1]:.2f}s phases={phases[-1]}")
     best = min(warm) if warm else cold
+    try:
+        ms = jax.devices()[0].memory_stats() or {}
+        hbm = {"bytes_in_use": int(ms.get("bytes_in_use", 0)),
+               "bytes_limit": int(ms.get("bytes_limit", 0))}
+    except Exception:
+        hbm = None
     g = gather_bench()
     log(f"gather at 2^{g['rows_log2']} rows: {g['mgather_per_s']} M/s"
         if g else "gather bench skipped")
@@ -267,6 +273,7 @@ def main():
         "best_reads_per_s": round(N_READS / best),
         "phases": phases,
         "gather": g,
+        "hbm": hbm,
     }
     if want_ref:
         r = run_reference(h0, h1, reads)
