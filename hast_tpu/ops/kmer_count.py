@@ -377,6 +377,19 @@ class DeviceCounter:
     two so compile count stays logarithmic.
     """
 
+    # folds allocate ~2x their concatenated input transiently (sort in
+    # + out); when two counters stream concurrently (the stage-00
+    # parent overlap) simultaneous fold transients can stack past HBM
+    # at large distinct sets — one fold at a time bounds the peak to
+    # max(transient) + other counters' resident runs.  SYNC_FOLDS
+    # (set by count_files_device_pair) additionally blocks until the
+    # fold's outputs materialize before releasing the lock, so the two
+    # parents' fold transients can never be live simultaneously —
+    # async dispatch alone would let thread B enqueue its fold while
+    # A's buffers are still held.
+    _FOLD_LOCK = __import__("threading").Lock()
+    SYNC_FOLDS = False
+
     def __init__(self, k: int, fold_above: int = 48_000_000):
         self.k = k
         self._chunks: list = []      # (hi, lo, counts|None) device arrays
@@ -408,6 +421,10 @@ class DeviceCounter:
                 self._fold()
 
     def _fold(self, final: bool = False) -> None:
+        with self._FOLD_LOCK:
+            self._fold_locked(final)
+
+    def _fold_locked(self, final: bool = False) -> None:
         # settle the PREVIOUS fold's deferred shrink first: its
         # n_unique scalar has been computed long since (a fold's worth
         # of streaming happened), so the int() below is effectively
@@ -440,6 +457,8 @@ class DeviceCounter:
         # one fold's worth of slack, bounded by fold_above.
         self._pending_n = n_unique
         self._run = (rhi, rlo, rc)
+        if DeviceCounter.SYNC_FOLDS:
+            jax.block_until_ready(rhi)
         if final:
             self._settle()
 

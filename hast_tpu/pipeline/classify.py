@@ -466,7 +466,7 @@ def get_hap(barcode: bytes, c0: int, c1: int, size0: int, size1: int,
 def classify_fastqs(table: H.KmerTable, paths: Iterable[str],
                     batch_size: int = 1 << 15,
                     tally: BarcodeTally | None = None,
-                    super_batch: int = 2,
+                    super_batch: int | None = None,
                     engine: str = "auto") -> BarcodeTally:
     """Stream fastq files through the device vote kernel into a tally.
 
@@ -483,7 +483,16 @@ def classify_fastqs(table: H.KmerTable, paths: Iterable[str],
     barcode dictionary off the GIL with a prefetch thread), "python"
     the pure-python reader, "auto" native when the shared library is
     available.  Outputs are identical.
+
+    super_batch: batches per device interaction (results identical for
+    any value — unused slices carry id -1 and are dropped by the
+    scatter).  Default 2, or HAST_CLASSIFY_SUPER; each interaction is
+    ~4 host->device transfers, so remote tunnels with high per-RPC
+    latency favor larger S.
     """
+    if super_batch is None:
+        import os
+        super_batch = int(os.environ.get("HAST_CLASSIFY_SUPER", "2"))
     if engine in ("auto", "native"):
         try:
             from hast_tpu.io import native as N

@@ -104,11 +104,15 @@ def count_files_device_pair(a_paths: Sequence[str],
         except BaseException as e:   # re-raised on the caller thread
             out[tag] = e
 
-    t = threading.Thread(target=work, args=("a", a_paths),
-                         name="hast-count-a")
-    t.start()
-    work("b", b_paths)
-    t.join()
+    KC.DeviceCounter.SYNC_FOLDS = True   # see DeviceCounter._FOLD_LOCK
+    try:
+        t = threading.Thread(target=work, args=("a", a_paths),
+                             name="hast-count-a")
+        t.start()
+        work("b", b_paths)
+        t.join()
+    finally:
+        KC.DeviceCounter.SYNC_FOLDS = False
     if isinstance(out["a"], BaseException):
         raise out["a"]
     if isinstance(out["b"], BaseException):

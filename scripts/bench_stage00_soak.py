@@ -140,11 +140,44 @@ def main():
     result = {"genome_bp": GENOME, "coverage": COV,
               "kmers_total": kmers_total, "n_parts": n_parts}
 
-    t_res, paths_res, lines_res = run_engine(pat, mat, "resident", 1)
-    log(f"resident single-pass: {t_res:.0f}s "
-        f"({kmers_total / t_res / 1e6:.0f}M kmers/s e2e)")
-    result["resident_s"] = round(t_res, 1)
-    result["resident_kmers_per_s"] = round(kmers_total / t_res)
+    # Phase A: resident single-pass.  At ~2.3e8 distinct/parent the
+    # marker-algebra transient (sort of the 2x2^28-row concat, ~17 GB)
+    # exceeds a v5e's 16 GB HBM — exactly the regime the partitioned
+    # engine exists for.  On OOM, record the envelope and fall back to
+    # a cross-partitioning equality check (P vs 2P ranges: identical
+    # output reachable via two independent key splits).
+    # analytic residency envelope: distinct/parent ~= genome + error
+    # tail; the algebra sorts the 2-parent concat padded to a power of
+    # two with in+out copies of (hi, lo, counts, tag) -> ~16 B/row x
+    # 2 x padded rows transient.  Skip the doomed attempt when that
+    # exceeds ~14 GB (v5e 16 GB minus working set).
+    est_distinct = int(GENOME + GENOME * COV * ERR * K)
+    pad = 1 << (2 * est_distinct - 1).bit_length()
+    algebra_bytes = 2 * pad * 16
+    result["est_distinct_per_parent"] = est_distinct
+    result["est_algebra_transient_gb"] = round(algebra_bytes / 1e9, 1)
+    if algebra_bytes > 14e9:
+        log(f"resident single-pass skipped: estimated algebra transient "
+            f"{algebra_bytes / 1e9:.0f} GB exceeds v5e HBM — this scale "
+            f"is the partitioned engine's regime")
+        result["resident_s"] = None
+        result["resident_oom"] = True
+        paths_res = None
+    else:
+        try:
+            t_res, paths_res, _ = run_engine(pat, mat, "resident", 1)
+            log(f"resident single-pass: {t_res:.0f}s "
+                f"({kmers_total / t_res / 1e6:.0f}M kmers/s e2e)")
+            result["resident_s"] = round(t_res, 1)
+            result["resident_kmers_per_s"] = round(kmers_total / t_res)
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            log("resident single-pass: HBM RESOURCE_EXHAUSTED — using "
+                "cross-partitioning check")
+            result["resident_s"] = None
+            result["resident_oom"] = True
+            paths_res = None
 
     t_part, paths_part, lines_part = run_engine(pat, mat, "parts", n_parts)
     log(f"partitioned ({n_parts} ranges, 2 sweeps): {t_part:.0f}s "
@@ -153,7 +186,17 @@ def main():
     result["partitioned_kmers_per_s"] = round(kmers_total / t_part)
     # per-pass distinct counts (quantile balance of the strided sampler)
     result["pass_log"] = [ln.strip() for ln in "".join(lines_part).split("\n")
-                          if "marker pass" in ln or "distinct" in ln]
+                          if "count pass" in ln or "marker pass" in ln
+                          or "distinct" in ln]
+
+    if paths_res is None:
+        t2, paths_res, lines2 = run_engine(pat, mat, "parts2x",
+                                           2 * n_parts)
+        log(f"partitioned ({2 * n_parts} ranges): {t2:.0f}s")
+        result["partitioned_2x_s"] = round(t2, 1)
+        cmp_name = "equal_across_partitionings"
+    else:
+        cmp_name = "partitioned_equals_resident"
 
     same = True
     for p in ("paternal", "maternal"):
@@ -164,7 +207,7 @@ def main():
         if a != b:
             same = False
             log(f"MISMATCH: {p} markers differ between engines!")
-    result["partitioned_equals_resident"] = same
+    result[cmp_name] = same
     print(json.dumps(result))
     (CACHE / "result.json").write_text(json.dumps(result, indent=1))
 
