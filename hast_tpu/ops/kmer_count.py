@@ -812,7 +812,8 @@ def sample_boundaries(batch_source, k: int, n_parts: int,
 
 def count_pass_device(batch_source, k: int, lo_bound: np.uint64,
                       hi_bound: np.uint64,
-                      super_batch: int = 8) -> DeviceCounter:
+                      super_batch: int = 8,
+                      fold_above: int | None = None) -> DeviceCounter:
     """One key-range pass: stream the whole input, fold only canonical
     k-mers in [lo_bound, hi_bound) into an HBM-resident DeviceCounter.
     """
@@ -821,7 +822,8 @@ def count_pass_device(batch_source, k: int, lo_bound: np.uint64,
     args = (jnp.uint32(lo_b >> np.uint64(32)), jnp.uint32(lo_b),
             jnp.uint32(hi_b >> np.uint64(32)), jnp.uint32(hi_b))
     S = super_batch
-    dcounter = DeviceCounter(k)
+    dcounter = DeviceCounter(k) if fold_above is None \
+        else DeviceCounter(k, fold_above=fold_above)
     buf: list = []
 
     def flush():
@@ -878,9 +880,10 @@ def count_batches_partitioned(batch_source, k: int, n_parts: int,
 
 
 def count_file_native(path: str, k: int, batch_size: int = 1 << 14,
-                      super_batch: int = 8,
+                      super_batch: int | None = None,
                       finalize: bool = True,
-                      key_range: tuple | None = None
+                      key_range: tuple | None = None,
+                      fold_above: int | None = None
                       ) -> "CountTable | DeviceCounter | None":
     """Count one fasta/fastq file via the native counting reader.
 
@@ -894,7 +897,16 @@ def count_file_native(path: str, k: int, batch_size: int = 1 << 14,
 
     key_range=(lo, hi) uint64 restricts counting to canonical keys in
     [lo, hi) — one pass of the partitioned (HBM-bounded) counter.
+
+    super_batch: batches per device interaction (default 8 or
+    HAST_COUNT_SUPER) — remote tunnels with high per-dispatch latency
+    favor larger values.  fold_above: DeviceCounter fold threshold;
+    key-range passes pass a larger one (their resident run is only
+    distinct/n_parts, so bigger, fewer folds fit the same HBM).
     """
+    import os as _os
+    if super_batch is None:
+        super_batch = int(_os.environ.get("HAST_COUNT_SUPER", "8"))
     from hast_tpu.io import fastq as FQ
     try:
         from hast_tpu.io import native as N
@@ -907,7 +919,8 @@ def count_file_native(path: str, k: int, batch_size: int = 1 << 14,
     except (ImportError, RuntimeError, FileNotFoundError, ValueError):
         return None
     S = super_batch
-    dcounter = DeviceCounter(k)
+    dcounter = DeviceCounter(k) if fold_above is None \
+        else DeviceCounter(k, fold_above=fold_above)
     buf: list = []
     clean: list = []
     range_args = None

@@ -396,18 +396,26 @@ def _build_unshared_markers_device(
                 for path in maternal:
                     yield from FQ.sequence_batches(path, k, batch_size)
 
+            # a range pass keeps only ~1/n_parts of the stream, so its
+            # resident run is small — bigger, fewer folds fit the same
+            # HBM (fold transient ~2x the concat; 192M elems x 12 B x 2
+            # = 4.6 GB, plus distinct/n_parts run)
+            _fold_above = min(192_000_000, 48_000_000 * max(1, n_parts))
+
             def count_range(paths, lo_b, hi_b) -> KC.DeviceCountTable:
                 """One key-range pass over a parent's files: native
                 reader when it can take the file, python fallback."""
-                total = KC.DeviceCounter(k)
+                total = KC.DeviceCounter(k, fold_above=_fold_above)
                 for path in paths:
                     dc = KC.count_file_native(path, k, batch_size,
                                               finalize=False,
-                                              key_range=(lo_b, hi_b))
+                                              key_range=(lo_b, hi_b),
+                                              fold_above=_fold_above)
                     if dc is None:
                         dc = KC.count_pass_device(
                             lambda p=path: FQ.sequence_batches(
-                                p, k, batch_size), k, lo_b, hi_b)
+                                p, k, batch_size), k, lo_b, hi_b,
+                            fold_above=_fold_above)
                     total.merge_device(dc)
                 return total.finalize_device()
 
