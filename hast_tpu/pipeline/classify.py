@@ -265,38 +265,43 @@ def _grow_acc(acc: jax.Array, zeros: jax.Array) -> jax.Array:
 
 @jax.jit
 def _pack_acc(acc: jax.Array):
-    """uint16 low-half image of the int32 tally + a scalar overflow
-    count, halving the device->host fetch (counts above 65535 are
-    rare: a barcode needs >~800 marker-hit reads to get there).
+    """uint8 and uint16 low-byte images of the int32 tally + scalar
+    overflow counts.  The final tally fetch is the one unavoidable
+    d2h of the streaming path (~6 MB of uint16 at 1M barcodes — ~0.3 s
+    on the ~20 MB/s tunnel); most workloads' per-barcode counts fit a
+    byte (a barcode needs >255 marker-hit positions to overflow), so
+    the uint8 image (3 MB) is tried first, the uint16 one fetched only
+    when some entry >= 256, and the raw int32 tally only above 65535.
 
-    The previous version also shipped a sparse high-half list built
-    with jnp.nonzero — that program's first execution stalled ~100s on
-    the remote-attached backend (BENCH_r02's cold-time regression), so
-    overflow now just falls back to fetching the raw int32 tally
-    (measured: overflow never fires on the bench workload).
+    (A sparse nonzero-built high-half list was tried in r02 and
+    removed: its first execution stalled ~100 s on this backend.)
     """
-    lo = (acc & 0xFFFF).astype(jnp.uint16)
-    n_over = jnp.sum((acc >> 16) != 0, dtype=jnp.int32)
-    return lo, n_over
+    lo8 = (acc & 0xFF).astype(jnp.uint8)
+    n_over8 = jnp.sum((acc >> 8) != 0, dtype=jnp.int32)
+    lo16 = (acc & 0xFFFF).astype(jnp.uint16)
+    n_over16 = jnp.sum((acc >> 16) != 0, dtype=jnp.int32)
+    return lo8, n_over8, lo16, n_over16
 
 
 def _fetch_acc_start(acc: jax.Array):
     """Kick off the packed tally d2h; returns a handle for _finish.
     Split so callers can do host work (e.g. the barcode name sort)
     while the copy drains."""
-    lo, n_over = _pack_acc(acc)
+    lo8, n_over8, lo16, n_over16 = _pack_acc(acc)
     try:
-        lo.copy_to_host_async()
+        lo8.copy_to_host_async()
     except Exception:
         pass
-    return acc, lo, n_over
+    return acc, lo8, n_over8, lo16, n_over16
 
 
 def _fetch_acc_finish(state) -> np.ndarray:
-    acc, lo, n_over = state
-    if int(np.asarray(n_over)):
-        return np.asarray(acc).astype(np.int64)
-    return np.asarray(lo).astype(np.int64)
+    acc, lo8, n_over8, lo16, n_over16 = state
+    if not int(np.asarray(n_over8)):
+        return np.asarray(lo8).astype(np.int64)
+    if not int(np.asarray(n_over16)):
+        return np.asarray(lo16).astype(np.int64)
+    return np.asarray(acc).astype(np.int64)
 
 
 def _fetch_acc(acc: jax.Array) -> np.ndarray:

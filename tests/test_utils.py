@@ -51,3 +51,18 @@ def test_notice_fallback_once(capsys):
     err = capsys.readouterr().err
     assert err.count("unit-test-site") == 1
     assert "boom" in err
+
+
+def test_pack_acc_fetch_tiers():
+    import numpy as np
+    """The tally fetch tries uint8 -> uint16 -> raw int32 images; each
+    tier must round-trip exactly at its boundary."""
+    import jax.numpy as jnp
+    from hast_tpu.pipeline import classify as C
+
+    for vals in ([0, 1, 255], [0, 256, 90], [70000, 2, 1], [0, 0, 0]):
+        acc = jnp.asarray(
+            np.array([vals, [1, 2, 3]], np.int32))
+        got = C._fetch_acc_finish(C._fetch_acc_start(acc))
+        np.testing.assert_array_equal(
+            got, np.array([vals, [1, 2, 3]], np.int64))
